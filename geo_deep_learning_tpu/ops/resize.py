@@ -1,0 +1,89 @@
+"""Spatial resize ops for NHWC tensors.
+
+Replaces the reference's ``models/utils.py:96-137`` ``resize`` wrapper
+around ``F.interpolate``. Two coordinate conventions are supported because
+pretrained-weight parity requires matching torch exactly:
+
+- ``align_corners=False`` (half-pixel centers): equals
+  ``jax.image.resize(method="bilinear")``, which XLA lowers to fused
+  gather/dot ops on TPU.
+- ``align_corners=True``: corner-aligned sampling, implemented with an
+  explicit separable gather (torch semantics; used by UperNet/FCN heads
+  in many configs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _corner_aligned_1d(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    """Linear interp along ``axis`` with align_corners=True coordinates."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    if in_size == 1:
+        reps = [1] * x.ndim
+        reps[axis] = out_size
+        return jnp.tile(x, reps)
+    # torch align_corners=True: src = dst * (in-1)/(out-1)
+    pos = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 2)
+    frac = pos - lo.astype(jnp.float32)
+    a = jnp.take(x, lo, axis=axis)
+    b = jnp.take(x, lo + 1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    frac = frac.reshape(shape).astype(x.dtype)
+    return a * (1 - frac) + b * frac
+
+
+def resize(
+    x: jnp.ndarray,
+    size: tuple[int, int] | None = None,
+    scale_factor: float | tuple[float, float] | None = None,
+    method: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Resize NHWC (or HWC) images to ``size`` or by ``scale_factor``."""
+    if (size is None) == (scale_factor is None):
+        msg = "exactly one of size / scale_factor required"
+        raise ValueError(msg)
+    batched = x.ndim == 4
+    if not batched:
+        x = x[None]
+    h, w = x.shape[1], x.shape[2]
+    if size is None:
+        if not isinstance(scale_factor, (tuple, list)):
+            scale_factor = (scale_factor, scale_factor)
+        size = (int(h * scale_factor[0]), int(w * scale_factor[1]))
+    size = (int(size[0]), int(size[1]))
+
+    if method == "nearest":
+        out = _nearest(x, size)
+    elif method == "bilinear" and align_corners:
+        out = _corner_aligned_1d(_corner_aligned_1d(x, size[0], 1), size[1], 2)
+    elif method == "bilinear":
+        # antialias=False matches torch F.interpolate's plain bilinear
+        # (torch does not low-pass filter on downscale unless antialias=True)
+        out = jax.image.resize(
+            x,
+            (x.shape[0], size[0], size[1], x.shape[3]),
+            method="bilinear",
+            antialias=False,
+        )
+    else:
+        msg = f"unsupported resize method: {method}"
+        raise ValueError(msg)
+    return out if batched else out[0]
+
+
+def _nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor with torch's ``F.interpolate(mode='nearest')``
+    index rule (floor of dst * in/out) — used for mask resizing where
+    label values must be preserved exactly."""
+    h, w = x.shape[1], x.shape[2]
+    rows = jnp.floor(jnp.arange(size[0]) * (h / size[0])).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(size[1]) * (w / size[1])).astype(jnp.int32)
+    return x[:, rows][:, :, cols]

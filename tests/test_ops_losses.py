@@ -1,0 +1,92 @@
+"""Loss tests: shapes, ranges, and parity against torch formulations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geo_deep_learning_tpu.ops import losses
+
+
+@pytest.fixture
+def multiclass_case():
+    rng = np.random.default_rng(42)
+    logits = jnp.asarray(rng.normal(size=(2, 16, 16, 5)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 5, size=(2, 16, 16)).astype(np.int32))
+    return logits, targets
+
+
+def test_dice_perfect_prediction_is_zero():
+    targets = jnp.zeros((1, 8, 8), dtype=jnp.int32).at[:, :4].set(1)
+    logits = jax.nn.one_hot(targets, 2) * 100.0  # near-delta probs
+    loss = losses.dice_loss(logits, targets)
+    assert float(loss) < 1e-3
+
+
+def test_dice_binary_mode():
+    targets = jnp.zeros((1, 8, 8), dtype=jnp.int32).at[:, :4].set(1)
+    logits = (targets[..., None].astype(jnp.float32) * 2 - 1) * 50.0
+    loss = losses.dice_loss(logits, targets, mode="binary")
+    assert float(loss) < 1e-3
+
+
+def test_dice_matches_torch_formulation(multiclass_case):
+    torch = pytest.importorskip("torch")
+    logits, targets = multiclass_case
+    # independent torch reimplementation of smp's multiclass dice
+    lt = torch.tensor(np.asarray(logits)).permute(0, 3, 1, 2)
+    tt = torch.tensor(np.asarray(targets)).long()
+    probs = lt.log_softmax(dim=1).exp()
+    b, c = probs.shape[:2]
+    probs = probs.reshape(b, c, -1)
+    onehot = torch.nn.functional.one_hot(tt.reshape(b, -1), c).permute(0, 2, 1).float()
+    inter = (probs * onehot).sum(dim=(0, 2))
+    card = (probs + onehot).sum(dim=(0, 2))
+    dice = (2 * inter) / card.clamp_min(1e-7)
+    expected = (1 - dice).mean().item()
+    got = float(losses.dice_loss(logits, targets))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_soft_ce_matches_torch(multiclass_case):
+    torch = pytest.importorskip("torch")
+    logits, targets = multiclass_case
+    lt = torch.tensor(np.asarray(logits)).reshape(-1, 5)
+    tt = torch.tensor(np.asarray(targets)).long().reshape(-1)
+    expected = torch.nn.functional.cross_entropy(lt, tt, label_smoothing=0.1).item()
+    got = float(losses.soft_cross_entropy(logits, targets, smooth_factor=0.1))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_cross_entropy_ignore_index(multiclass_case):
+    logits, targets = multiclass_case
+    targets = targets.at[0].set(255)
+    loss = losses.cross_entropy(logits, jnp.clip(targets, 0, 255), ignore_index=255)
+    assert np.isfinite(float(loss))
+
+
+def test_focal_and_jaccard_finite(multiclass_case):
+    logits, targets = multiclass_case
+    assert np.isfinite(float(losses.focal_loss(logits, targets)))
+    assert np.isfinite(float(losses.jaccard_loss(logits, targets)))
+
+
+def test_bce_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    targets = rng.integers(0, 2, size=(2, 8, 8)).astype(np.int32)
+    expected = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.tensor(logits).squeeze(-1), torch.tensor(targets).float()
+    ).item()
+    got = float(losses.binary_cross_entropy(jnp.asarray(logits), jnp.asarray(targets)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_configured_loss_classes():
+    targets = jnp.zeros((1, 8, 8), dtype=jnp.int32)
+    logits = jnp.zeros((1, 8, 8, 3))
+    loss = losses.DiceLoss(mode="multiclass")(logits, targets)
+    assert np.isfinite(float(loss))
+    loss2 = losses.SoftCrossEntropyLoss(smooth_factor=0.1)(logits, targets)
+    assert np.isfinite(float(loss2))
