@@ -1,0 +1,132 @@
+"""Benchmark: training throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: SegFormer-B0 512x512 training patches/sec/chip (bf16,
+full train step incl. on-device augmentation, loss, backward, optimizer).
+The reference publishes no numbers (BASELINE.md); the baseline anchor is a
+documented A100 estimate for the same workload (see BASELINE.md) and the
+north-star target is 3x that, so ``vs_baseline`` = ours / (3 x A100_est):
+1.0 means the 3x-A100 target is met.
+
+Usage: python bench.py [--model segformer_b0|unetpp_r34|dofa_base]
+                       [--batch N] [--steps N] [--image-size N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Documented A100 anchors (patches/sec, 512**2, AMP, per GPU) — see BASELINE.md
+A100_ESTIMATE = {
+    "segformer_b0": 55.0,
+    "unetpp_r34": 60.0,
+    "dofa_base": 25.0,
+}
+TARGET_MULTIPLIER = 3.0
+
+
+def build(model_name: str, batch: int, image_size: int):
+    from geo_deep_learning_tpu.core.precision import PrecisionPolicy
+    from geo_deep_learning_tpu.core.train_state import TrainState
+    from geo_deep_learning_tpu.ops.losses import DiceLoss
+    from geo_deep_learning_tpu.training.optim import build_optimizer
+    from geo_deep_learning_tpu.training.steps import make_train_step
+    from geo_deep_learning_tpu.training.task import SegmentationTask
+
+    num_classes = 5
+    dtype = jnp.bfloat16
+    if model_name == "segformer_b0":
+        from geo_deep_learning_tpu.models.segmentation.segformer import SegFormer
+
+        model = SegFormer(encoder_name="mit_b0", num_classes=num_classes, dtype=dtype)
+    elif model_name == "unetpp_r34":
+        from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
+
+        model = UnetPlusPlus(
+            encoder_name="resnet34", num_classes=num_classes, dtype=dtype
+        )
+    elif model_name == "dofa_base":
+        from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation
+
+        model = DOFASegmentation(
+            encoder_name="dofa_base", num_classes=num_classes, dtype=dtype
+        )
+    else:
+        msg = f"unknown model {model_name}"
+        raise ValueError(msg)
+
+    task = SegmentationTask(
+        model=model, loss=DiceLoss(mode="multiclass"), num_classes=num_classes
+    )
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "image": rng.normal(size=(batch, image_size, image_size, 3)).astype(
+            np.float32
+        ),
+        "mask": rng.integers(0, num_classes, size=(batch, image_size, image_size)).astype(
+            np.int32
+        ),
+    }
+    if model_name == "dofa_base":
+        batch_data["wavelengths"] = np.asarray([0.665, 0.549, 0.481], np.float32)
+
+    variables = task.init_variables(jax.random.PRNGKey(0), batch_data)
+    tx = build_optimizer(variables["params"], optimizer="adam", lr=1e-4, grad_clip=1.0)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables.get("batch_stats", {}),
+        rng=jax.random.PRNGKey(1),
+    )
+    precision = PrecisionPolicy.create("bf16-mixed")
+    step = make_train_step(task, precision)
+    return step, state, batch_data
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="segformer_b0")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--image-size", type=int, default=512)
+    args = p.parse_args()
+
+    step, state, batch = build(args.model, args.batch, args.image_size)
+    device_batch = jax.device_put(batch)
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, device_batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, device_batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = args.steps * args.batch / dt
+    baseline = A100_ESTIMATE.get(args.model, 50.0) * TARGET_MULTIPLIER
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model} {args.image_size}x{args.image_size} train patches/sec/chip",
+                "value": round(patches_per_sec, 2),
+                "unit": "patches/sec",
+                "vs_baseline": round(patches_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

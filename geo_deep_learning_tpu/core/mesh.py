@@ -104,12 +104,19 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host-side batch pytree onto the mesh, sharded on dim 0.
 
     Non-array leaves (e.g. lists of image names) pass through untouched.
+    Arrays whose leading dim does not divide the data-axis size (e.g. a
+    small debug batch on a big mesh) are replicated instead — correct,
+    just not parallel; size your global batch as a multiple of the data
+    axis for real runs.
     """
-    sharding = batch_sharding(mesh)
+    data_size = mesh.shape[DATA_AXIS]
+    sharded = batch_sharding(mesh)
+    replicated = replicated_sharding(mesh)
 
     def _put(leaf):
         if isinstance(leaf, (np.ndarray, jax.Array)):
-            return jax.device_put(leaf, sharding)
+            fits = leaf.ndim > 0 and leaf.shape[0] % data_size == 0
+            return jax.device_put(leaf, sharded if fits else replicated)
         return leaf
 
     return jax.tree.map(_put, batch)

@@ -1,0 +1,127 @@
+"""UperNet decoder: PPM over the deepest level + FPN top-down fusion.
+
+Reference equivalent: ``models/decoders/upernet.py:9-152`` (mmseg-derived).
+Structure: PPM(pool 1,2,3,6) + bottleneck on the last level; 1x1 lateral
+convs on shallower levels; top-down add with bilinear upsampling; 3x3 fpn
+convs; upsample all to the finest level; concat; 3x3 fuse. Optional
+``scale_modules`` builds a ConvTranspose pyramid from uniform-resolution
+plain-ViT taps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from geo_deep_learning_tpu.models.layers import ConvModule, PPM
+from geo_deep_learning_tpu.ops.resize import resize
+
+
+class UperNetDecoder(nn.Module):
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    channels: int = 256
+    align_corners: bool = True
+    scale_modules: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, inputs: Sequence[jnp.ndarray], train: bool = False
+    ) -> jnp.ndarray:
+        if self.scale_modules:
+            # plain-ViT taps are all at one resolution; build a pyramid
+            d0 = inputs[0].shape[-1]
+            x0 = nn.ConvTranspose(
+                d0 // 2, (2, 2), strides=(2, 2),
+                dtype=self.dtype, param_dtype=self.param_dtype, name="fpn1_up1",
+            )(inputs[0])
+            x0 = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, param_dtype=jnp.float32, name="fpn1_bn",
+            )(x0)
+            x0 = nn.gelu(x0)
+            x0 = nn.ConvTranspose(
+                d0 // 4, (2, 2), strides=(2, 2),
+                dtype=self.dtype, param_dtype=self.param_dtype, name="fpn1_up2",
+            )(x0)
+            d1 = inputs[1].shape[-1]
+            x1 = nn.ConvTranspose(
+                d1 // 2, (2, 2), strides=(2, 2),
+                dtype=self.dtype, param_dtype=self.param_dtype, name="fpn2_up",
+            )(inputs[1])
+            x2 = inputs[2]
+            x3 = nn.max_pool(inputs[3], (2, 2), strides=(2, 2))
+            inputs = [x0, x1, x2, x3]
+
+        # laterals for all but the deepest level
+        laterals = [
+            ConvModule(
+                self.channels,
+                kernel_size=(1, 1),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"lateral{i}",
+            )(x, train=train)
+            for i, x in enumerate(inputs[:-1])
+        ]
+        # PPM + bottleneck on the deepest level
+        top = inputs[-1]
+        psp_outs = [top, *PPM(
+            pool_scales=self.pool_scales,
+            channels=self.channels,
+            align_corners=self.align_corners,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="ppm",
+        )(top, train=train)]
+        laterals.append(
+            ConvModule(
+                self.channels,
+                kernel_size=(3, 3),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="bottleneck",
+            )(jnp.concatenate(psp_outs, axis=-1), train=train)
+        )
+
+        # top-down pathway
+        n = len(laterals)
+        for i in range(n - 1, 0, -1):
+            prev_hw = laterals[i - 1].shape[1:3]
+            laterals[i - 1] = laterals[i - 1] + resize(
+                laterals[i],
+                size=prev_hw,
+                method="bilinear",
+                align_corners=self.align_corners,
+            )
+
+        fpn_outs = [
+            ConvModule(
+                self.channels,
+                kernel_size=(3, 3),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"fpn_conv{i}",
+            )(laterals[i], train=train)
+            for i in range(n - 1)
+        ]
+        fpn_outs.append(laterals[-1])
+        target_hw = fpn_outs[0].shape[1:3]
+        for i in range(n - 1, 0, -1):
+            fpn_outs[i] = resize(
+                fpn_outs[i],
+                size=target_hw,
+                method="bilinear",
+                align_corners=self.align_corners,
+            )
+        fused = jnp.concatenate(fpn_outs, axis=-1)
+        return ConvModule(
+            self.channels,
+            kernel_size=(3, 3),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="fpn_bottleneck",
+        )(fused, train=train)

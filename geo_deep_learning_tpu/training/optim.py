@@ -1,0 +1,259 @@
+"""Optimizers and LR schedules (optax).
+
+Covers the reference's optimizer surface:
+
+- ``torch.optim.Adam``/``AdamW``/``SGD`` by config name
+  (reference configs/*.yaml ``optimizer.class_path``)
+- ``ReduceLROnPlateau`` — inherently host-side control flow (reference
+  configs use it with interval=epoch, monitor=val_loss); implemented as a
+  :class:`PlateauController` that rescales the learning rate injected via
+  ``optax.inject_hyperparams``.
+- ``OneCycleLR`` — ``optax.cosine_onecycle_schedule`` (reference
+  tasks_with_models/segmentation_unetplus.py:146-205 special-cases
+  total-step computation; our trainer passes total_steps explicitly).
+- ``LinearWarmupCosineAnnealingLR`` and ``linear_warmup_decay`` —
+  capability parity with reference tools/schedulers/lr_scheduler.py:13-198.
+- Layer freezing — the reference mutates ``requires_grad``
+  (models/segmentation/base.py:24-31); in JAX freezing is an optimizer
+  mask: frozen subtrees get ``optax.set_to_zero``.
+- Gradient clipping — reference Lightning ``gradient_clip_val: 1.0``.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import optax
+
+logger = logging.getLogger(__name__)
+
+_OPTIMIZERS = {
+    "adam": lambda lr, kw: optax.adam(
+        lr, b1=kw.get("b1", 0.9), b2=kw.get("b2", 0.999), eps=kw.get("eps", 1e-8)
+    ),
+    "adamw": lambda lr, kw: optax.adamw(
+        lr,
+        b1=kw.get("b1", 0.9),
+        b2=kw.get("b2", 0.999),
+        eps=kw.get("eps", 1e-8),
+        weight_decay=kw.get("weight_decay", 0.01),
+    ),
+    "sgd": lambda lr, kw: optax.sgd(
+        lr, momentum=kw.get("momentum", 0.0), nesterov=kw.get("nesterov", False)
+    ),
+}
+
+# torch class_path aliases so reference configs translate verbatim
+_ALIASES = {
+    "torch.optim.Adam": "adam",
+    "torch.optim.AdamW": "adamw",
+    "torch.optim.SGD": "sgd",
+}
+
+
+def linear_warmup_cosine_annealing(
+    warmup_epochs: int,
+    max_epochs: int,
+    warmup_start_lr: float = 0.0,
+    eta_min: float = 0.0,
+    base_lr: float = 1e-3,
+) -> optax.Schedule:
+    """Reference ``LinearWarmupCosineAnnealingLR`` (tools/schedulers/
+    lr_scheduler.py:13-163), expressed in steps of its ``interval`` unit."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=warmup_start_lr,
+        peak_value=base_lr,
+        warmup_steps=warmup_epochs,
+        decay_steps=max_epochs,
+        end_value=eta_min,
+    )
+
+
+def linear_warmup_decay(
+    warmup_steps: int,
+    total_steps: int,
+    base_lr: float,
+    cosine: bool = True,
+    linear: bool = False,
+) -> optax.Schedule:
+    """Reference ``linear_warmup_decay`` lambda factory
+    (tools/schedulers/lr_scheduler.py:167-198)."""
+    if cosine and linear:
+        msg = "cosine and linear decay are mutually exclusive"
+        raise ValueError(msg)
+    warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
+    rest = total_steps - warmup_steps
+    if cosine:
+        decay = optax.cosine_decay_schedule(base_lr, max(rest, 1))
+    elif linear:
+        decay = optax.linear_schedule(base_lr, 0.0, max(rest, 1))
+    else:
+        decay = optax.constant_schedule(base_lr)
+    return optax.join_schedules([warmup, decay], [warmup_steps])
+
+
+def one_cycle(
+    max_lr: float,
+    total_steps: int,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+) -> optax.Schedule:
+    """torch ``OneCycleLR`` (cos annealing strategy)."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=max_lr,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+@dataclass
+class PlateauController:
+    """Host-side ReduceLROnPlateau (torch semantics).
+
+    Call :meth:`update` once per epoch with the monitored metric; it
+    returns the current LR *scale* in [min_lr/base_lr, 1]. The trainer
+    writes ``base_lr * scale`` into the optimizer's injected hyperparams.
+    """
+
+    mode: str = "min"
+    factor: float = 0.1
+    patience: int = 10
+    cooldown: int = 0
+    min_lr: float = 0.0
+    threshold: float = 1e-4
+    base_lr: float = 1e-3
+    scale: float = field(default=1.0, init=False)
+    _best: float | None = field(default=None, init=False)
+    _bad_epochs: int = field(default=0, init=False)
+    _cooldown_left: int = field(default=0, init=False)
+
+    def _is_better(self, value: float) -> bool:
+        if self._best is None:
+            return True
+        if self.mode == "min":
+            return value < self._best * (1.0 - self.threshold)
+        return value > self._best * (1.0 + self.threshold)
+
+    def update(self, value: float) -> float:
+        if self._is_better(value):
+            self._best = value
+            self._bad_epochs = 0
+        elif self._cooldown_left > 0:
+            self._cooldown_left -= 1
+            self._bad_epochs = 0
+        else:
+            self._bad_epochs += 1
+            if self._bad_epochs > self.patience:
+                new_lr = max(self.base_lr * self.scale * self.factor, self.min_lr)
+                self.scale = new_lr / self.base_lr
+                self._cooldown_left = self.cooldown
+                self._bad_epochs = 0
+                logger.info("ReduceLROnPlateau: lr -> %g", new_lr)
+        return self.scale
+
+    @property
+    def lr(self) -> float:
+        return self.base_lr * self.scale
+
+
+def freeze_mask(params: Any, patterns: list[str]) -> Any:
+    """Label tree: 'frozen' where the flattened path matches any pattern.
+
+    Path format: '/'-joined module names, e.g. ``encoder/block0/attn/q``.
+    """
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label_of(path) -> str:
+        keys = [getattr(p, "key", getattr(p, "idx", "")) for p in path]
+        return "/".join(str(k) for k in keys)
+
+    labels = {}
+    for path, _ in flat:
+        name = label_of(path)
+        labels[name] = "frozen" if any(s in name for s in patterns) else "train"
+    # rebuild a tree of labels matching params' structure
+    treedef = jax.tree_util.tree_structure(params)
+    label_leaves = [labels[label_of(p)] for p, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, label_leaves)
+
+
+def build_optimizer(
+    params: Any,
+    optimizer: str = "adam",
+    lr: float = 1e-4,
+    schedule: Callable | None = None,
+    plateau: PlateauController | None = None,
+    grad_clip: float | None = None,
+    freeze_patterns: list[str] | None = None,
+    **kwargs,
+) -> optax.GradientTransformation:
+    """Assemble the full gradient transformation.
+
+    Exactly one of ``schedule`` (step-based) / ``plateau`` (epoch,
+    metric-driven) / plain ``lr`` drives the learning rate.
+    """
+    name = _ALIASES.get(optimizer, optimizer).lower()
+    if name not in _OPTIMIZERS:
+        msg = f"unknown optimizer {optimizer!r}; known: {sorted(_OPTIMIZERS)}"
+        raise ValueError(msg)
+    make = _OPTIMIZERS[name]
+
+    if plateau is not None:
+        plateau.base_lr = lr
+
+        def core_fn(learning_rate):
+            return make(learning_rate, kwargs)
+
+        core = optax.inject_hyperparams(core_fn)(learning_rate=lr)
+    elif schedule is not None:
+        core = make(schedule, kwargs)
+    else:
+        core = make(lr, kwargs)
+
+    parts = []
+    if grad_clip:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(core)
+    tx = optax.chain(*parts) if len(parts) > 1 else core
+
+    if freeze_patterns:
+        labels = freeze_mask(params, freeze_patterns)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def set_learning_rate(opt_state: Any, lr: float) -> Any:
+    """Write a new LR into an ``inject_hyperparams`` optimizer state
+    (possibly nested under chain/multi_transform wrappers)."""
+
+    import jax.numpy as jnp
+
+    def visit(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            hp = dict(state.hyperparams)
+            hp["learning_rate"] = jnp.asarray(
+                lr, dtype=jnp.asarray(state.hyperparams["learning_rate"]).dtype
+            )
+            return state._replace(hyperparams=hp)
+        if hasattr(state, "inner_states"):  # multi_transform
+            inner = {k: visit(v) for k, v in state.inner_states.items()}
+            return state._replace(inner_states=inner)
+        if hasattr(state, "inner_state"):  # masked / wrappers
+            return state._replace(inner_state=visit(state.inner_state))
+        if isinstance(state, tuple):  # chain state or plain tuple
+            vals = [visit(s) for s in state]
+            if hasattr(state, "_fields"):
+                return type(state)(*vals)
+            return tuple(vals)
+        return state
+
+    return visit(opt_state)

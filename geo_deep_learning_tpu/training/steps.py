@@ -1,0 +1,133 @@
+"""Jitted train/eval step factories.
+
+The hot loop of the framework. Everything the reference scatters over
+Lightning hooks — Kornia host-side augmentation (``on_before_batch_transfer``),
+forward, loss, DDP allreduce, optimizer step, grad clip, metric reduction —
+is ONE fused XLA program here:
+
+- augmentation runs on device inside the step (keyed from ``state.rng``),
+- gradient sync is implicit: the batch is sharded over the mesh's data
+  axis, so XLA inserts the psum during the backward pass (the NCCL
+  bucketed-allreduce equivalent, fused with compute),
+- the whole train state is donated, so parameters/optimizer state are
+  updated in place in HBM,
+- metrics come back as small scalars/confusion matrices, already globally
+  reduced.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from geo_deep_learning_tpu.core.precision import PrecisionPolicy
+from geo_deep_learning_tpu.core.train_state import TrainState
+from geo_deep_learning_tpu.ops.augment import AugmentConfig, apply_augmentations
+from geo_deep_learning_tpu.ops.metrics import confusion_matrix, logits_to_preds
+from geo_deep_learning_tpu.training.task import SegmentationTask
+
+# batch keys consumed by the jitted step; everything else (image names,
+# metadata strings) stays on host
+_DEVICE_KEYS = ("image", "mask", "wavelengths")
+
+
+def device_batch(batch: dict) -> dict:
+    return {k: batch[k] for k in _DEVICE_KEYS if k in batch}
+
+
+def make_train_step(
+    task: SegmentationTask,
+    precision: PrecisionPolicy,
+    augment: AugmentConfig | None = AugmentConfig(),
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Build the jitted training step (donates the state)."""
+
+    def train_step(state: TrainState, batch: dict):
+        rng_aug, rng_drop, rng_next = jax.random.split(state.rng, 3)
+        image = precision.cast_input(batch["image"])
+        mask = batch["mask"]
+        if augment is not None:
+            image, mask = apply_augmentations(rng_aug, image, mask, augment)
+        fwd_batch = dict(batch)
+        fwd_batch["image"] = image
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, updates = task.forward(
+                variables,
+                fwd_batch,
+                train=True,
+                rngs={"dropout": rng_drop},
+                mutable=["batch_stats"],
+            )
+            loss = task.compute_loss(out, mask)
+            return loss, updates.get("batch_stats", state.batch_stats)
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(
+            grads, batch_stats=new_batch_stats, rng=rng_next
+        )
+        metrics = {"loss": loss.astype(jnp.float32)}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=0)
+
+
+def make_eval_step(
+    task: SegmentationTask,
+    precision: PrecisionPolicy,
+) -> Callable[[TrainState, dict], dict]:
+    """Build the jitted eval step: loss + confusion-matrix contribution.
+
+    The confusion matrix is additive, so the caller accumulates it across
+    batches and derives dataset-level IoU — fixing the reference's
+    per-batch-reset quirk (SURVEY.md §7) while :func:`batch_metrics` in
+    ops.metrics still offers the quirk-parity per-batch IoU.
+    """
+
+    n = task.eval_classes
+
+    def eval_step(state: TrainState, batch: dict):
+        image = precision.cast_input(batch["image"])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        fwd_batch = dict(batch)
+        fwd_batch["image"] = image
+        out = task.forward(variables, fwd_batch, train=False)
+        loss = task.compute_loss(out, batch["mask"])
+        preds = logits_to_preds(out.out, task.num_classes, task.threshold)
+        cm = confusion_matrix(preds, batch["mask"], n)
+        return {
+            "loss": loss.astype(jnp.float32),
+            "confusion": cm,
+            "preds": preds,
+            "logits": out.out,
+        }
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(task: SegmentationTask, precision: PrecisionPolicy):
+    def predict_step(state: TrainState, batch: dict):
+        image = precision.cast_input(batch["image"])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        fwd_batch = dict(batch)
+        fwd_batch["image"] = image
+        out = task.forward(variables, fwd_batch, train=False)
+        if task.num_classes == 1:
+            probs = jax.nn.sigmoid(out.out)
+        else:
+            probs = jax.nn.softmax(out.out, axis=-1)
+        preds = logits_to_preds(out.out, task.num_classes, task.threshold)
+        return {"probs": probs, "preds": preds}
+
+    return jax.jit(predict_step)

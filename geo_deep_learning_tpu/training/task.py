@@ -1,0 +1,72 @@
+"""Segmentation task: binds a model assembly, a loss, and batch semantics.
+
+Functional counterpart of the reference's three LightningModules
+(tasks_with_models/segmentation_{unetplus,segformer,dofa}.py). Where the
+reference duplicates ~390 lines per task, here one task class covers all
+three because the differences are data, not code:
+
+- whether the forward consumes ``wavelengths`` (DOFA),
+- the aux-loss weight (DOFA: main + 0.4·aux, ref segmentation_dofa.py:226-228),
+- binary (C==1, sigmoid>0.5) vs multiclass (argmax) inference
+  (ref segmentation_unetplus.py:223-320).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation
+
+
+@dataclass
+class SegmentationTask:
+    model: nn.Module
+    loss: Callable
+    num_classes: int = 1
+    aux_loss_weight: float = 0.4  # applied only when the model emits aux
+    threshold: float = 0.5
+    class_labels: Sequence[str] | None = None
+    class_colors: Sequence[str] | None = None
+    monitor: str = "val_loss"
+    uses_wavelengths: bool | None = None  # None = infer from model type
+
+    def __post_init__(self):
+        if self.uses_wavelengths is None:
+            self.uses_wavelengths = isinstance(self.model, DOFASegmentation)
+
+    # number of evaluation classes: binary tasks evaluate {bg, fg}
+    # (reference quirk: num_classes==1 → 2-class IoU, segmentation_dofa.py:70)
+    @property
+    def eval_classes(self) -> int:
+        return self.num_classes + 1 if self.num_classes == 1 else self.num_classes
+
+    def model_args(self, batch: dict) -> tuple:
+        if self.uses_wavelengths:
+            return (batch["image"], batch["wavelengths"])
+        return (batch["image"],)
+
+    def init_variables(self, rng: jax.Array, batch: dict) -> dict:
+        return self.model.init(rng, *self.model_args(batch), train=False)
+
+    def forward(
+        self,
+        variables: dict,
+        batch: dict,
+        train: bool = False,
+        rngs: dict | None = None,
+        mutable: list | bool = False,
+    ):
+        return self.model.apply(
+            variables, *self.model_args(batch), train=train, rngs=rngs, mutable=mutable
+        )
+
+    def compute_loss(self, output, mask: jnp.ndarray) -> jnp.ndarray:
+        loss = self.loss(output.out, mask)
+        if output.aux is not None:
+            loss = loss + self.aux_loss_weight * self.loss(output.aux, mask)
+        return loss

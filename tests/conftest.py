@@ -1,29 +1,28 @@
 """Test configuration: run on a fake 8-device CPU mesh.
 
-Set platform flags BEFORE jax initializes so multi-device sharding tests
-can exercise real GSPMD partitioning without TPU hardware (SURVEY.md §4).
+IMPORTANT: this container's sitecustomize imports jax at interpreter
+startup (before conftest) and pins ``JAX_PLATFORMS=axon`` (a real tunneled
+TPU), so environment variables set here are too late. ``jax.config.update``
+still works until the first backend use, so the platform/device-count are
+forced through the config API instead (SURVEY.md §4 test plan).
 """
 
-import os
+import jax
 
-# Hard-set (not setdefault): the environment may pin JAX_PLATFORMS to a
-# real TPU backend, but unit tests must run on the fake 8-device CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: model-forward compiles dominate test time
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="session", autouse=True)
 def eight_devices():
     devs = jax.devices()
+    assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs[0]}"
     assert len(devs) == 8, f"expected 8 fake devices, got {len(devs)}"
     return devs

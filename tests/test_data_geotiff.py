@@ -1,0 +1,93 @@
+"""GeoTIFF codec tests: roundtrips, compressions, geo metadata, PIL interop."""
+
+import numpy as np
+import pytest
+
+from geo_deep_learning_tpu.data.geotiff import (
+    Affine,
+    GeoInfo,
+    read_geotiff,
+    write_geotiff,
+)
+
+
+@pytest.fixture
+def rgb(tmp_path):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, size=(37, 29, 3)).astype(np.uint8)
+
+
+def test_roundtrip_uint8(tmp_path, rgb):
+    p = tmp_path / "x.tif"
+    geo = GeoInfo(Affine(0.5, 0, 600000.0, 0, -0.5, 4800000.0), epsg=32617, nodata=0)
+    write_geotiff(p, rgb, geo)
+    img, g = read_geotiff(p)
+    np.testing.assert_array_equal(img, rgb)
+    assert g.epsg == 32617
+    assert g.nodata == 0
+    np.testing.assert_allclose(g.transform.to_tuple(), geo.transform.to_tuple())
+
+
+def test_roundtrip_uncompressed(tmp_path, rgb):
+    p = tmp_path / "x.tif"
+    write_geotiff(p, rgb, compress=None)
+    img, _ = read_geotiff(p)
+    np.testing.assert_array_equal(img, rgb)
+
+
+def test_roundtrip_float32_multiband(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(16, 16, 6)).astype(np.float32)
+    p = tmp_path / "f.tif"
+    write_geotiff(p, arr, GeoInfo(nodata=-9999.0))
+    img, g = read_geotiff(p)
+    np.testing.assert_array_equal(img, arr)
+    assert g.nodata == -9999.0
+
+
+def test_roundtrip_int16_single_band(tmp_path):
+    arr = (np.arange(64, dtype=np.int16) - 32).reshape(8, 8)
+    p = tmp_path / "i.tif"
+    write_geotiff(p, arr)
+    img, _ = read_geotiff(p)
+    assert img.shape == (8, 8, 1)
+    np.testing.assert_array_equal(img[..., 0], arr)
+
+
+def test_wgs84_epsg(tmp_path):
+    arr = np.zeros((4, 4), dtype=np.uint8)
+    p = tmp_path / "w.tif"
+    write_geotiff(p, arr, GeoInfo(Affine(0.01, 0, -75.0, 0, -0.01, 45.0), epsg=4326))
+    _, g = read_geotiff(p)
+    assert g.epsg == 4326
+
+
+def test_pil_reads_our_files(tmp_path, rgb):
+    PIL = pytest.importorskip("PIL.Image")
+    p = tmp_path / "x.tif"
+    write_geotiff(p, rgb)
+    with PIL.open(p) as im:
+        arr = np.array(im)
+    np.testing.assert_array_equal(arr, rgb)
+
+
+def test_we_read_pil_files(tmp_path, rgb):
+    """PIL writes strip-based uncompressed/LZW TIFFs — decode them."""
+    PIL = pytest.importorskip("PIL.Image")
+    for comp in [None, "tiff_lzw", "tiff_deflate", "packbits"]:
+        p = tmp_path / f"pil_{comp}.tif"
+        im = PIL.fromarray(rgb)
+        if comp:
+            im.save(p, compression=comp)
+        else:
+            im.save(p)
+        img, _ = read_geotiff(p)
+        np.testing.assert_array_equal(img, rgb, err_msg=f"compression={comp}")
+
+
+def test_affine_invert():
+    t = Affine(0.5, 0, 100.0, 0, -0.5, 200.0)
+    inv = t.invert()
+    x, y = t * (10, 20)
+    col, row = inv * (x, y)
+    np.testing.assert_allclose((col, row), (10, 20), atol=1e-9)

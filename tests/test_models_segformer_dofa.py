@@ -1,0 +1,108 @@
+"""SegFormer + DOFA assembly tests (shapes, dtypes, grads, dynamic channels)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geo_deep_learning_tpu.models.encoders.dofa import DOFAv2, sincos_1d, sincos_2d
+from geo_deep_learning_tpu.models.encoders.mix_transformer import (
+    MixVisionTransformer,
+)
+from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation
+from geo_deep_learning_tpu.models.segmentation.segformer import SegFormer
+
+WAVELENGTHS_RGB = jnp.array([0.665, 0.549, 0.481])
+
+
+def test_mit_b0_pyramid():
+    m = MixVisionTransformer(variant="mit_b0")
+    x = jnp.ones((1, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    feats = m.apply(vars_, x, train=False)
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2]
+    assert [f.shape[-1] for f in feats] == [32, 64, 160, 256]
+
+
+def test_segformer_forward():
+    m = SegFormer(encoder_name="mit_b0", num_classes=5)
+    x = jnp.ones((2, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(vars_, x, train=False)
+    assert out.out.shape == (2, 64, 64, 5)
+    assert out.out.dtype == jnp.float32
+    assert out.aux is None
+
+
+def test_segformer_dynamic_encoder_channel_agnostic():
+    m = SegFormer(encoder_name="mit_b0", num_classes=2, use_dynamic_encoder=True)
+    x6 = jnp.ones((1, 64, 64, 6))
+    vars_ = m.init(jax.random.PRNGKey(0), x6, train=False)
+    out = m.apply(vars_, x6, train=False)
+    assert out.out.shape == (1, 64, 64, 2)
+    # same params accept a different channel count (the whole point)
+    x4 = jnp.ones((1, 64, 64, 4))
+    out4 = m.apply(vars_, x4, train=False)
+    assert out4.out.shape == (1, 64, 64, 2)
+
+
+def test_segformer_train_mode_with_dropout_rngs():
+    m = SegFormer(encoder_name="mit_b0", num_classes=3)
+    x = jnp.ones((2, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    out, updates = m.apply(
+        vars_,
+        x,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert out.out.shape == (2, 64, 64, 3)
+    assert "batch_stats" in updates
+
+
+def test_sincos_embeddings():
+    e = sincos_1d(128, jnp.array([665.0, 549.0, 481.0]))
+    assert e.shape == (3, 128)
+    p = sincos_2d(768, 4, 4)
+    assert p.shape == (16, 768)
+    # distinct positions get distinct embeddings
+    assert not np.allclose(p[0], p[5])
+
+
+def test_dofa_encoder_token_grid():
+    """512//14 with padding=1 → 36x36 grid (SURVEY.md note on conv arith)."""
+    m = DOFAv2(variant="dofa_base", drop_path_rate=0.0)
+    x = jnp.ones((1, 112, 112, 3))  # small multiple: (112+2-14)/14+1 = 8
+    vars_ = m.init(jax.random.PRNGKey(0), x, WAVELENGTHS_RGB, train=False)
+    feats = m.apply(vars_, x, WAVELENGTHS_RGB, train=False)
+    assert len(feats) == 4
+    assert all(f.shape == (1, 8, 8, 768) for f in feats)
+
+
+def test_dofa_wavelength_sensitivity():
+    """Different wavelengths → different dynamic kernels → different features."""
+    m = DOFAv2(variant="dofa_base", out_indices=(0,), drop_path_rate=0.0)
+    x = jnp.ones((1, 56, 56, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, WAVELENGTHS_RGB, train=False)
+    f_rgb = m.apply(vars_, x, WAVELENGTHS_RGB, train=False)[0]
+    f_nir = m.apply(vars_, x, jnp.array([0.842, 0.665, 0.549]), train=False)[0]
+    assert not np.allclose(np.asarray(f_rgb), np.asarray(f_nir), atol=1e-5)
+
+
+def test_dofa_batched_wavelengths():
+    m = DOFAv2(variant="dofa_base", out_indices=(0,), drop_path_rate=0.0)
+    x = jnp.ones((2, 56, 56, 3))
+    wv = jnp.tile(WAVELENGTHS_RGB[None], (2, 1))
+    vars_ = m.init(jax.random.PRNGKey(0), x, wv, train=False)
+    feats = m.apply(vars_, x, wv, train=False)
+    assert feats[0].shape == (2, 4, 4, 768)
+
+
+def test_dofa_segmentation_assembly():
+    m = DOFASegmentation(encoder_name="dofa_base", num_classes=5)
+    x = jnp.ones((1, 112, 112, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, WAVELENGTHS_RGB, train=False)
+    out = m.apply(vars_, x, WAVELENGTHS_RGB, train=False)
+    assert out.out.shape == (1, 112, 112, 5)
+    assert out.aux.shape == (1, 112, 112, 5)
+    assert out.out.dtype == jnp.float32

@@ -1,0 +1,94 @@
+"""UNet++ assembly + ResNet encoder tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geo_deep_learning_tpu.models.encoders.resnet import ResNetEncoder
+from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
+
+
+def test_resnet18_pyramid_shapes():
+    m = ResNetEncoder(variant="resnet18")
+    x = jnp.ones((1, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    feats = m.apply(vars_, x, train=False)
+    assert [f.shape[1] for f in feats] == [32, 16, 8, 4, 2]
+    assert [f.shape[-1] for f in feats] == [64, 64, 128, 256, 512]
+
+
+def test_resnet50_channels():
+    m = ResNetEncoder(variant="resnet50")
+    x = jnp.ones((1, 32, 32, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    feats = m.apply(vars_, x, train=False)
+    assert [f.shape[-1] for f in feats] == [64, 256, 512, 1024, 2048]
+
+
+def test_resnet_matches_torchvision_topology():
+    """Param-count parity with torchvision resnet18 (conv/bn only)."""
+    torch = pytest.importorskip("torch")
+    tv = pytest.importorskip("torchvision")
+    ref = tv.models.resnet18()
+    ref_params = sum(
+        p.numel()
+        for n, p in ref.named_parameters()
+        if not n.startswith("fc")
+    )
+    m = ResNetEncoder(variant="resnet18")
+    vars_ = m.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)), train=False)
+    ours = sum(x.size for x in jax.tree.leaves(vars_["params"]))
+    assert ours == ref_params
+
+
+def test_unetpp_forward_and_grad():
+    m = UnetPlusPlus(
+        encoder_name="resnet18", num_classes=3, decoder_channels=(32, 24, 16, 8, 8)
+    )
+    x = jnp.ones((2, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(vars_, x, train=False)
+    assert out.out.shape == (2, 64, 64, 3)
+    assert out.aux is None
+    assert out.out.dtype == jnp.float32
+
+    def loss_fn(params):
+        o, _ = m.apply(
+            {"params": params, "batch_stats": vars_["batch_stats"]},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.mean(o.out**2)
+
+    g = jax.grad(loss_fn)(vars_["params"])
+    gnorm = sum(jnp.sum(jnp.abs(v)) for v in jax.tree.leaves(g))
+    assert float(gnorm) > 0
+
+
+def test_unetpp_bf16_compute():
+    m = UnetPlusPlus(
+        encoder_name="resnet18",
+        num_classes=2,
+        decoder_channels=(16, 8, 8, 8, 8),
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.ones((1, 32, 32, 3), dtype=jnp.bfloat16)
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    # params stay f32, logits come back f32
+    assert all(
+        v.dtype == jnp.float32 for v in jax.tree.leaves(vars_["params"])
+    )
+    out = m.apply(vars_, x, train=False)
+    assert out.out.dtype == jnp.float32
+
+
+def test_unetpp_multispectral_input():
+    m = UnetPlusPlus(
+        encoder_name="resnet18", num_classes=2, decoder_channels=(16, 8, 8, 8, 8)
+    )
+    x = jnp.ones((1, 32, 32, 6))  # 6-band imagery
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(vars_, x, train=False)
+    assert out.out.shape == (1, 32, 32, 2)
