@@ -1,0 +1,154 @@
+"""CLI entry point: ``fit`` / ``validate`` / ``test`` / ``predict``.
+
+Reference equivalent: ``train.py:27-76`` (``GeoDeepLearningCLI`` over
+LightningCLI). Usage::
+
+    python -m geo_deep_learning_tpu.cli.main fit --config configs/x.yaml \
+        [section.key=value ...]
+
+The trainer section understands the reference's Lightning vocabulary
+(max_epochs, precision, gradient_clip_val, callbacks Early/Checkpoint/
+Visualization, MLflow logger) and maps it onto :class:`TrainerConfig`;
+``after-fit`` auto-testing on the best checkpoint is built into the
+trainer (reference train.py:30-62).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+from typing import Any
+
+from geo_deep_learning_tpu.cli.config import instantiate, load_config
+from geo_deep_learning_tpu.config.logging_config import setup_logging
+
+logger = logging.getLogger(__name__)
+
+_PRECISION_MAP = {
+    "16-mixed": "bf16-mixed",  # AMP → bf16 on TPU
+    "bf16-mixed": "bf16-mixed",
+    "32-true": "32-true",
+    "32": "32-true",
+    32: "32-true",
+    16: "bf16-mixed",
+}
+
+
+def build_trainer_config(trainer_node: dict, seed: int):
+    from geo_deep_learning_tpu.training.loop import TrainerConfig
+
+    cfg = TrainerConfig(seed=seed)
+    cfg.max_epochs = int(trainer_node.get("max_epochs", cfg.max_epochs))
+    cfg.precision = _PRECISION_MAP.get(
+        trainer_node.get("precision", "bf16-mixed"), "bf16-mixed"
+    )
+    if "gradient_clip_val" in trainer_node:
+        cfg.grad_clip = trainer_node["gradient_clip_val"]
+    ckpt_dir = trainer_node.get("default_root_dir", ".")
+    cfg.checkpoint_dir = str(Path(ckpt_dir) / "checkpoints")
+
+    for cb in trainer_node.get("callbacks", []) or []:
+        path = cb.get("class_path", "") if isinstance(cb, dict) else ""
+        args = cb.get("init_args", {}) if isinstance(cb, dict) else {}
+        if path.endswith("EarlyStopping"):
+            cfg.early_stopping_patience = int(args.get("patience", 20))
+            cfg.monitor = args.get("monitor", cfg.monitor)
+            cfg.monitor_mode = args.get("mode", cfg.monitor_mode)
+        elif path.endswith("ModelCheckpoint"):
+            cfg.monitor = args.get("monitor", cfg.monitor)
+            cfg.monitor_mode = args.get("mode", cfg.monitor_mode)
+        elif path.endswith("VisualizationCallback"):
+            cfg.visualize_max_samples = int(args.get("max_samples", 3))
+    return cfg
+
+
+def build_tracker(trainer_node: dict, run_dir: str):
+    from geo_deep_learning_tpu.tools.tracking import create_tracker
+
+    logger_node = trainer_node.get("logger")
+    if not logger_node:
+        return create_tracker("file", directory=run_dir)
+    args = logger_node.get("init_args", {}) if isinstance(logger_node, dict) else {}
+    return create_tracker(
+        "auto",
+        directory=args.get("save_dir", run_dir),
+        run_name=args.get("run_name", "run"),
+        experiment_name=args.get("experiment_name", "geo-deep-learning-tpu"),
+    )
+
+
+def main(argv: list[str] | None = None) -> dict[str, Any]:
+    setup_logging()
+    parser = argparse.ArgumentParser(prog="gdl-tpu")
+    parser.add_argument(
+        "subcommand", choices=["fit", "validate", "test", "predict"]
+    )
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--ckpt-path", default=None)
+    parser.add_argument("overrides", nargs="*", help="a.b.c=value overrides")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config, args.overrides)
+    seed = config.get("seed_everything", 42)
+    seed = 42 if seed is True else int(seed)
+
+    trainer_node = config.get("trainer", {}) or {}
+    spec = instantiate(config["model"])
+    datamodule = instantiate(config["data"])
+    trainer_cfg = build_trainer_config(trainer_node, seed)
+    tracker = build_tracker(trainer_node, trainer_cfg.checkpoint_dir)
+
+    from geo_deep_learning_tpu.training.loop import Trainer
+
+    trainer = Trainer(trainer_cfg, tracker)
+    tracker.log_params(config)
+    ckpt_path = args.ckpt_path or config.get("ckpt_path")
+
+    if args.subcommand == "fit":
+        result = trainer.fit(
+            spec.task, datamodule, ckpt_path=ckpt_path, **spec.fit_kwargs()
+        )
+    else:
+        result = run_eval_from_ckpt(
+            trainer, spec, datamodule, ckpt_path, args.subcommand
+        )
+    tracker.finish()
+    logger.info("%s result: %s", args.subcommand, result)
+    return result
+
+
+def run_eval_from_ckpt(trainer, spec, datamodule, ckpt_path, mode: str):
+    """Initialize state (optionally from a checkpoint), then evaluate."""
+    from geo_deep_learning_tpu.training.checkpoint import CheckpointManager
+    from geo_deep_learning_tpu.training.steps import make_eval_step
+
+    stage = {"validate": "validate", "test": "test", "predict": "predict"}[mode]
+    datamodule.setup(stage)
+    loader = (
+        datamodule.val_dataloader() if mode == "validate" else datamodule.test_dataloader()
+    )
+    first = next(iter(loader))
+    # scheduler must match fit-time wiring so the optimizer state tree
+    # (e.g. inject_hyperparams for plateau) restores structurally
+    trainer.state = trainer._init_state(
+        spec.task, first, spec.optimizer, spec.scheduler, None,
+        spec.weights_from_checkpoint_path, spec.load_parts, spec.freeze_layers,
+    )
+    if ckpt_path:
+        mgr = CheckpointManager(trainer.config.checkpoint_dir)
+        trainer.state = mgr.restore(ckpt_path, trainer.state)
+    if mode in ("validate", "test"):
+        prefix = "val" if mode == "validate" else "test"
+        eval_step = make_eval_step(spec.task, trainer.precision)
+        metrics, _ = trainer._run_eval(
+            spec.task, eval_step, loader, prefix=prefix, task_labels=spec.task
+        )
+        return metrics
+    preds = list(trainer.predict(spec.task, loader))
+    return {"num_batches": len(preds)}
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

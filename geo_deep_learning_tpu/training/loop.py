@@ -133,12 +133,21 @@ class Trainer:
                 weights_from_checkpoint_path, params, load_parts, batch_stats
             )
 
-        opt_cfg = dict(optimizer or {"name": "adam", "lr": 1e-4})
+        def normalize(cfg):
+            """Accept both flat {'name', ...} and YAML
+            {'class_path', 'init_args': {...}} shapes."""
+            cfg = dict(cfg)
+            if "init_args" in cfg:
+                args = cfg.pop("init_args") or {}
+                cfg.update(args)
+            return cfg
+
+        opt_cfg = normalize(optimizer or {"name": "adam", "lr": 1e-4})
         name = opt_cfg.pop("name", opt_cfg.pop("class_path", "adam"))
         lr = float(opt_cfg.pop("lr", 1e-4))
 
         schedule = None
-        sched_cfg = dict(scheduler or {})
+        sched_cfg = normalize(scheduler or {})
         sched_name = sched_cfg.pop("name", sched_cfg.pop("class_path", None))
         if sched_name in (
             "ReduceLROnPlateau",

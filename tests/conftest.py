@@ -16,6 +16,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# don't persist XLA:CPU AOT executables — they embed exact host CPU feature
+# flags and spam feature-mismatch errors when reloaded
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import pytest  # noqa: E402
 
