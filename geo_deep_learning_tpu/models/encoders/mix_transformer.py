@@ -101,6 +101,7 @@ class SRAttention(nn.Module):
                 c,
                 (self.sr_ratio, self.sr_ratio),
                 strides=(self.sr_ratio, self.sr_ratio),
+                padding="VALID",  # torch sr conv has padding 0
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="sr",

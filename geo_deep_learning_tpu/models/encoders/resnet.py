@@ -44,15 +44,18 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         residual = x
+        # explicit (1,1) padding: torch pads symmetrically; SAME would pad
+        # (0,1) for stride-2, shifting activations
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)],
             use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv1",
         )(x)
         y = _bn(train, self.dtype, "bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
-            self.features, (3, 3), use_bias=False,
+            self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
         )(y)
         y = _bn(train, self.dtype, "bn2")(y)
@@ -88,6 +91,7 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)],
             feature_group_count=self.groups, use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
         )(y)

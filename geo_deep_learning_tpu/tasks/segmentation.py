@@ -28,6 +28,7 @@ class SegmentationTaskSpec:
         weights_from_checkpoint_path: str | None = None,
         load_parts: list[str] | None = None,
         freeze_layers: list[str] | None = None,
+        torch_weights: dict | None = None,
         aux_loss_weight: float = 0.4,
         uses_wavelengths: bool | None = None,
     ) -> None:
@@ -47,6 +48,7 @@ class SegmentationTaskSpec:
         self.weights_from_checkpoint_path = weights_from_checkpoint_path
         self.load_parts = load_parts
         self.freeze_layers = freeze_layers
+        self.torch_weights = torch_weights
 
     def fit_kwargs(self) -> dict[str, Any]:
         return {
@@ -55,6 +57,7 @@ class SegmentationTaskSpec:
             "weights_from_checkpoint_path": self.weights_from_checkpoint_path,
             "load_parts": self.load_parts,
             "freeze_layers": self.freeze_layers,
+            "torch_weights": self.torch_weights,
         }
 
 

@@ -122,9 +122,28 @@ class Trainer:
         weights_from_checkpoint_path: str | None = None,
         load_parts: list[str] | None = None,
         freeze_layers: list[str] | None = None,
+        torch_weights: dict | None = None,
     ) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)
         variables = task.init_variables(rng, device_batch(sample_batch))
+
+        if torch_weights:
+            # warm start the encoder from a torch checkpoint file
+            # ({"path", "format": resnet|mit|dofa, "in_channels", "subtree"})
+            from geo_deep_learning_tpu.models import convert as cv
+
+            state_dict = cv.load_torch_state_dict(torch_weights["path"])
+            fmt = torch_weights.get("format", "resnet")
+            in_ch = int(torch_weights.get("in_channels", 3))
+            converted = {
+                "resnet": lambda: cv.convert_resnet(state_dict, in_ch),
+                "mit": lambda: cv.convert_mit(state_dict, in_ch),
+                "dofa": lambda: cv.convert_dofa(state_dict),
+            }[fmt]()
+            variables = cv.merge_pretrained(
+                dict(variables), converted, torch_weights.get("subtree", "encoder")
+            )
+
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
@@ -217,6 +236,7 @@ class Trainer:
         weights_from_checkpoint_path: str | None = None,
         load_parts: list[str] | None = None,
         freeze_layers: list[str] | None = None,
+        torch_weights: dict | None = None,
     ) -> dict:
         cfg = self.config
         datamodule.setup("fit")
@@ -236,6 +256,7 @@ class Trainer:
             weights_from_checkpoint_path,
             load_parts,
             freeze_layers,
+            torch_weights,
         )
         self.ckpt = CheckpointManager(
             cfg.checkpoint_dir, monitor=cfg.monitor, mode=cfg.monitor_mode
