@@ -139,8 +139,16 @@ def local_batch_to_global(batch: Any, mesh: Mesh) -> Any:
 
 
 def is_host0() -> bool:
-    """True on the coordinating process (reference analog: global rank 0)."""
-    return jax.process_index() == 0
+    """True on the coordinating process (reference analog: global rank 0).
+
+    Resilient to an uninitializable backend (e.g. host-side data tooling
+    run with a broken accelerator env): logging/config paths must not
+    require a device, so failures default to True (single process).
+    """
+    try:
+        return jax.process_index() == 0
+    except RuntimeError:
+        return True
 
 
 def host0_only(fn: Callable) -> Callable:

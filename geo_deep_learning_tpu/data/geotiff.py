@@ -273,11 +273,73 @@ def _undo_predictor(block: np.ndarray) -> np.ndarray:
 # --- public read ------------------------------------------------------------
 
 
+def read_geo_only(path: str | Path) -> GeoInfo:
+    """Parse only the geo tags with targeted seeks (no pixel decode).
+
+    Used alongside the native pixel decoder so the hot path never pulls
+    the compressed pixel payload through Python.
+    """
+    geo_tags = {
+        TAG_MODEL_PIXEL_SCALE,
+        TAG_MODEL_TIEPOINT,
+        TAG_MODEL_TRANSFORM,
+        TAG_GEO_KEYS,
+        TAG_GDAL_NODATA,
+    }
+    with Path(path).open("rb") as f:
+        head = f.read(16)
+        bo = "<" if head[:2] == b"II" else ">"
+        big = struct.unpack(bo + "H", head[2:4])[0] == 43
+        if big:
+            ifd_off = struct.unpack(bo + "Q", head[8:16])[0]
+        else:
+            ifd_off = struct.unpack(bo + "I", head[4:8])[0]
+        f.seek(ifd_off)
+        if big:
+            count = struct.unpack(bo + "Q", f.read(8))[0]
+            entry_size = 20
+        else:
+            count = struct.unpack(bo + "H", f.read(2))[0]
+            entry_size = 12
+        raw_entries = f.read(count * entry_size)
+        decoder = _TiffFile.__new__(_TiffFile)
+        decoder.bo = bo
+        tags: dict[int, list] = {}
+        for i in range(count):
+            e = raw_entries[i * entry_size : (i + 1) * entry_size]
+            tag, typ = struct.unpack(bo + "HH", e[:4])
+            if tag not in geo_tags:
+                continue
+            if big:
+                n = struct.unpack(bo + "Q", e[4:12])[0]
+                value_field = e[12:20]
+            else:
+                n = struct.unpack(bo + "I", e[4:8])[0]
+                value_field = e[8:12]
+            size = _TYPE_SIZES.get(typ, 1) * n
+            if size <= len(value_field):
+                raw = value_field[:size]
+            else:
+                off = struct.unpack(bo + ("Q" if big else "I"), value_field)[0]
+                f.seek(off)
+                raw = f.read(size)
+            tags[tag] = decoder._decode_values(typ, n, raw)
+    return _parse_geo(tags)
+
+
 def read_geotiff(path: str | Path) -> tuple[np.ndarray, GeoInfo]:
     """Read a GeoTIFF into an HWC numpy array + geo metadata.
 
     Single-band rasters come back with a trailing channel axis of 1.
+    Pixel decode uses the native libtiff library when built
+    (``native/tiff_reader.cc``); the numpy path below is the fallback.
     """
+    from geo_deep_learning_tpu.data._native import read_pixels_native
+
+    native = read_pixels_native(path)
+    if native is not None:
+        return native, read_geo_only(path)
+
     data = Path(path).read_bytes()
     tf = _TiffFile(data)
     tags = tf.read_ifd(tf.first_ifd)

@@ -1,0 +1,69 @@
+"""Export + profiling tests."""
+
+import numpy as np
+import pytest
+
+from geo_deep_learning_tpu.inference.export import (
+    export_model,
+    load_exported,
+    make_serving_fn,
+)
+from geo_deep_learning_tpu.tools.profiling import StepTimer, device_memory_stats
+
+
+def test_export_roundtrip_with_preprocessing(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
+
+    model = UnetPlusPlus(
+        encoder_name="resnet18", num_classes=3, decoder_channels=(8, 8, 8, 8, 8)
+    )
+    x_raw = np.random.default_rng(0).uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x_raw) / 255.0, train=False
+    )
+    serve = make_serving_fn(
+        model.apply, variables, mean=[0.4, 0.4, 0.4], std=[0.2, 0.2, 0.2], num_classes=3
+    )
+    direct = np.asarray(serve(jnp.asarray(x_raw)))
+    np.testing.assert_allclose(direct.sum(-1), 1.0, atol=1e-4)  # softmax
+
+    path = export_model(serve, (2, 32, 32, 3), tmp_path / "model.shlo")
+    assert path.stat().st_size > 1000
+    loaded = load_exported(path)
+    out = np.asarray(loaded(x_raw))
+    np.testing.assert_allclose(out, direct, atol=1e-5)
+    # batch-polymorphic: different batch size works from the same artifact
+    out4 = np.asarray(loaded(np.tile(x_raw, (2, 1, 1, 1))))
+    assert out4.shape[0] == 4
+
+
+def test_export_binary_sigmoid(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    def tiny_model(variables, x, train=False):
+        del variables, train
+        return x.mean(axis=-1, keepdims=True)
+
+    serve = make_serving_fn(tiny_model, {}, [0.5], [0.25], num_classes=1)
+    out = np.asarray(serve(jnp.ones((1, 4, 4, 1)) * 255.0))
+    assert np.all((out > 0) & (out < 1))
+
+
+def test_step_timer_warmup_excluded():
+    t = StepTimer(warmup=2)
+    for _ in range(5):
+        with t.step():
+            pass
+    s = t.summary(items_per_step=8)
+    assert s["steps_timed"] == 3
+    assert s["items_per_sec"] > 0
+
+
+def test_device_memory_stats_shape():
+    stats = device_memory_stats()
+    assert len(stats) == 8  # fake CPU mesh
+    assert all("device" in s for s in stats)

@@ -1,0 +1,92 @@
+"""Native libtiff decoder: parity with the numpy codec + speed sanity."""
+
+import time
+
+import numpy as np
+import pytest
+
+from geo_deep_learning_tpu.data import _native
+from geo_deep_learning_tpu.data.geotiff import (
+    Affine,
+    GeoInfo,
+    read_geo_only,
+    read_geotiff,
+    write_geotiff,
+)
+
+pytestmark = pytest.mark.skipif(
+    _native.get_lib() is None, reason="native libtiff decoder unavailable"
+)
+
+
+@pytest.mark.parametrize(
+    "dtype,bands",
+    [(np.uint8, 3), (np.uint8, 1), (np.uint16, 4), (np.float32, 6), (np.int16, 2)],
+)
+def test_native_matches_python(tmp_path, dtype, bands):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.floating):
+        arr = rng.normal(size=(33, 29, bands)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(
+            max(info.min, -1000), min(info.max, 1000), size=(33, 29, bands)
+        ).astype(dtype)
+    p = tmp_path / "x.tif"
+    write_geotiff(p, arr)
+    native = _native.read_pixels_native(p)
+    assert native is not None
+    np.testing.assert_array_equal(native, arr)
+
+
+def test_native_reads_pil_lzw(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    p = tmp_path / "lzw.tif"
+    PIL.fromarray(arr).save(p, compression="tiff_lzw")
+    native = _native.read_pixels_native(p)
+    np.testing.assert_array_equal(native, arr)
+
+
+def test_read_geotiff_uses_native_and_keeps_geo(tmp_path):
+    arr = np.random.default_rng(2).integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    geo = GeoInfo(Affine(0.5, 0, 100.0, 0, -0.5, 200.0), epsg=32617, nodata=7)
+    p = tmp_path / "g.tif"
+    write_geotiff(p, arr, geo)
+    img, g = read_geotiff(p)
+    np.testing.assert_array_equal(img, arr)
+    assert g.epsg == 32617 and g.nodata == 7
+    g2 = read_geo_only(p)
+    assert g2.epsg == 32617
+    np.testing.assert_allclose(g2.transform.to_tuple(), geo.transform.to_tuple())
+
+
+def test_native_faster_than_python_on_lzw(tmp_path):
+    """The point of the native path: LZW decode off the Python interpreter."""
+    PIL = pytest.importorskip("PIL.Image")
+    import geo_deep_learning_tpu.data.geotiff as gt
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (512, 512, 3)).astype(np.uint8)
+    p = tmp_path / "big.tif"
+    PIL.fromarray(arr).save(p, compression="tiff_lzw")
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        native = _native.read_pixels_native(p)
+    t_native = time.perf_counter() - t0
+
+    data = p.read_bytes()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        tf = gt._TiffFile(data)
+        tags = tf.read_ifd(tf.first_ifd)
+        # decode one strip the python way to time the LZW path
+        off, cnt = tags[gt.TAG_STRIP_OFFSETS][0], tags[gt.TAG_STRIP_COUNTS][0]
+        gt._decompress(data[off : off + cnt], gt.COMP_LZW)
+    t_python_one_strip = time.perf_counter() - t0
+
+    np.testing.assert_array_equal(native, arr)
+    # native full-image decode should beat python decoding even ONE strip
+    assert t_native < t_python_one_strip * 20  # generous: just sanity order
