@@ -104,6 +104,10 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
 
     trainer = Trainer(trainer_cfg, tracker)
     tracker.log_params(config)
+    # archive the merged run config (reference tools/mlflow_logger.py:18-24)
+    import yaml as _yaml
+
+    tracker.log_text(_yaml.safe_dump(config), "config/run_config.yaml")
     ckpt_path = args.ckpt_path or config.get("ckpt_path")
 
     if args.subcommand == "fit":

@@ -79,9 +79,9 @@ class FileTracker(Tracker):
         shutil.copy2(path, dest)
 
     def log_text(self, text: str, name: str) -> None:
-        dest = self.directory / "artifacts"
-        dest.mkdir(parents=True, exist_ok=True)
-        (dest / name).write_text(text)
+        dest = self.directory / "artifacts" / name
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        dest.write_text(text)
 
     def finish(self) -> None:
         self._metrics_file.close()

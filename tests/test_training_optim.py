@@ -1,0 +1,95 @@
+"""Optimizer/scheduler/freeze tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from geo_deep_learning_tpu.training import optim
+
+
+def _params():
+    return {
+        "encoder": {"conv": {"kernel": jnp.ones((3, 3))}},
+        "head": {"dense": {"kernel": jnp.ones((3, 3))}},
+    }
+
+
+def test_plateau_controller_reduces_after_patience():
+    pc = optim.PlateauController(patience=2, factor=0.5, base_lr=1.0, min_lr=0.1)
+    pc.update(1.0)
+    assert pc.scale == 1.0
+    for _ in range(3):  # no improvement
+        pc.update(1.0)
+    assert pc.scale == 0.5
+    # improvement resets patience
+    pc.update(0.5)
+    pc.update(0.5)
+    assert pc.scale == 0.5
+    # min_lr floor
+    for _ in range(20):
+        pc.update(0.5)
+    assert pc.lr >= 0.1 - 1e-9
+
+
+def test_plateau_cooldown():
+    pc = optim.PlateauController(patience=0, cooldown=2, factor=0.5, base_lr=1.0)
+    pc.update(1.0)
+    pc.update(1.0)  # bad epoch > patience → reduce, start cooldown
+    assert pc.scale == 0.5
+    pc.update(1.0)  # cooldown
+    pc.update(1.0)  # cooldown
+    assert pc.scale == 0.5
+    pc.update(1.0)  # bad again → reduce
+    assert pc.scale == 0.25
+
+
+def test_set_learning_rate_through_chain():
+    params = _params()
+    pc = optim.PlateauController(base_lr=1e-3)
+    tx = optim.build_optimizer(params, "adam", lr=1e-3, plateau=pc, grad_clip=1.0)
+    state = tx.init(params)
+    new_state = optim.set_learning_rate(state, 5e-4)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, new_state, params)
+    # adam on constant grads: update magnitude ≈ lr
+    mag = float(jnp.abs(updates["head"]["dense"]["kernel"]).mean())
+    np.testing.assert_allclose(mag, 5e-4, rtol=0.05)
+
+
+def test_freeze_patterns_zero_updates():
+    params = _params()
+    tx = optim.build_optimizer(
+        params, "adam", lr=1e-3, freeze_patterns=["encoder"]
+    )
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["encoder"]["conv"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(updates["head"]["dense"]["kernel"]).sum()) > 0.0
+
+
+def test_schedules_shapes():
+    s = optim.one_cycle(max_lr=1.0, total_steps=100)
+    assert float(s(0)) < 0.1  # starts at max_lr/div_factor
+    peak_idx = int(np.argmax([float(s(i)) for i in range(100)]))
+    assert 25 <= peak_idx <= 35  # pct_start=0.3
+    w = optim.linear_warmup_cosine_annealing(5, 50, base_lr=1.0)
+    assert float(w(0)) == 0.0
+    np.testing.assert_allclose(float(w(5)), 1.0, atol=1e-6)
+    d = optim.linear_warmup_decay(10, 100, base_lr=2.0, cosine=True)
+    np.testing.assert_allclose(float(d(10)), 2.0, atol=1e-6)
+    assert float(d(99)) < 0.1
+    with pytest.raises(ValueError):
+        optim.linear_warmup_decay(1, 2, 1.0, cosine=True, linear=True)
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        optim.build_optimizer(_params(), "lion", lr=1e-3)
+
+
+def test_torch_alias_names():
+    tx = optim.build_optimizer(_params(), "torch.optim.AdamW", lr=1e-3)
+    assert isinstance(tx, optax.GradientTransformation)
