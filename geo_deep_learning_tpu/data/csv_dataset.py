@@ -39,12 +39,16 @@ class CSVDataset:
         split: str = "trn",
         norm_stats: dict[str, list[float]] | None = None,
         band_indices: list[int] | None = None,
+        device_preprocess: bool = False,
     ) -> None:
         self.csv_root_folder = Path(csv_root_folder)
         self.patches_root_folder = Path(patches_root_folder)
         self.split = split
         self.norm_stats = norm_stats or {"mean": [0.0], "std": [1.0]}
         self.band_indices = band_indices
+        # device_preprocess: emit raw uint8 pixels; normalization and
+        # standardization fuse into the train step on device (Pallas)
+        self.device_preprocess = device_preprocess
         self.files = self._load_files()
         _log_dataset(split, len(self.files))
 
@@ -78,13 +82,16 @@ class CSVDataset:
     def __getitem__(self, index: int) -> dict:
         entry = self.files[index]
         image, _ = read_geotiff(entry["image"])
-        image = image.astype(np.float32)
         if self.band_indices is not None:
             image = image[..., self.band_indices]
         mean = np.asarray(self.norm_stats["mean"], dtype=np.float32)
         std = np.asarray(self.norm_stats["std"], dtype=np.float32)
-        image = image / 255.0  # reference normalization(0..255 -> 0..1)
-        image = (image - mean) / std
+        if self.device_preprocess and image.dtype == np.uint8:
+            pass  # raw bytes; fused normalize+standardize happens on device
+        else:
+            image = image.astype(np.float32)
+            image = image / 255.0  # reference normalization(0..255 -> 0..1)
+            image = (image - mean) / std
         mask, _ = read_geotiff(entry["mask"])
         mask = mask[..., 0].astype(np.int32)
         return {

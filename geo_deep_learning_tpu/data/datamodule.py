@@ -24,6 +24,7 @@ class CSVDataModule:
         std: Sequence[float] | None = None,
         patch_size: Sequence[int] = (512, 512),
         band_indices: Sequence[int] | None = None,
+        device_preprocess: bool = False,
         seed: int = 42,
     ) -> None:
         self.csv_root_folder = csv_root_folder
@@ -36,6 +37,7 @@ class CSVDataModule:
         }
         self.patch_size = tuple(patch_size)
         self.band_indices = list(band_indices) if band_indices else None
+        self.device_preprocess = device_preprocess
         self.seed = seed
         self.datasets: dict[str, CSVDataset] = {}
 
@@ -46,6 +48,7 @@ class CSVDataModule:
             split=split,
             norm_stats=self.norm_stats,
             band_indices=self.band_indices,
+            device_preprocess=self.device_preprocess,
         )
 
     def setup(self, stage: str = "fit") -> None:

@@ -34,7 +34,10 @@ def visualize_prediction(
     import matplotlib.pyplot as plt
     from matplotlib.colors import ListedColormap
 
-    img = np.asarray(denormalization(image, mean, std))
+    if np.asarray(image).dtype == np.uint8:
+        img = np.asarray(image)  # raw pixels (device-preprocess pipelines)
+    else:
+        img = np.asarray(denormalization(image, mean, std))
     if img.shape[-1] > 3:
         img = img[..., :3]
     elif img.shape[-1] == 1:

@@ -269,6 +269,7 @@ class Trainer:
             task, self.precision, AugmentConfig() if cfg.augment else None
         )
         eval_step = make_eval_step(task, self.precision)
+        viz_step = make_eval_step(task, self.precision, return_preds=True)
 
         stopper = (
             EarlyStopping(
@@ -303,7 +304,8 @@ class Trainer:
 
             # ---- validate ----
             val_metrics, val_sample = self._run_eval(
-                task, eval_step, datamodule.val_dataloader(), prefix="val"
+                task, eval_step, datamodule.val_dataloader(), prefix="val",
+                viz_step=viz_step,
             )
             epoch_metrics = {
                 "train_loss": train_loss,
@@ -371,6 +373,7 @@ class Trainer:
         loader: Iterable,
         prefix: str = "val",
         task_labels=None,
+        viz_step=None,
     ) -> tuple[dict, Any]:
         losses = []
         cm = jnp.zeros((task.eval_classes, task.eval_classes), dtype=jnp.float32)
@@ -378,14 +381,14 @@ class Trainer:
         n = 0
         for batch in loader:
             db = shard_batch(device_batch(batch), self.mesh)
-            out = eval_step(self.state, db)
+            if sample is None and viz_step is not None:
+                # first batch: the preds-returning variant feeds visualization
+                out = viz_step(self.state, db)
+                sample = {"batch": batch, "preds": np.asarray(out["preds"])}
+            else:
+                out = eval_step(self.state, db)
             losses.append(out["loss"])
             cm = cm + out["confusion"]
-            if sample is None:
-                sample = {
-                    "batch": batch,
-                    "preds": np.asarray(out["preds"]),
-                }
             n += 1
         if n == 0:
             return {}, None

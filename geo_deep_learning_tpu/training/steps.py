@@ -26,15 +26,30 @@ from geo_deep_learning_tpu.core.precision import PrecisionPolicy
 from geo_deep_learning_tpu.core.train_state import TrainState
 from geo_deep_learning_tpu.ops.augment import AugmentConfig, apply_augmentations
 from geo_deep_learning_tpu.ops.metrics import confusion_matrix, logits_to_preds
+from geo_deep_learning_tpu.ops.pallas.preprocess import fused_normalize_standardize
 from geo_deep_learning_tpu.training.task import SegmentationTask
 
 # batch keys consumed by the jitted step; everything else (image names,
 # metadata strings) stays on host
-_DEVICE_KEYS = ("image", "mask", "wavelengths")
+_DEVICE_KEYS = ("image", "mask", "wavelengths", "mean", "std")
 
 
 def device_batch(batch: dict) -> dict:
     return {k: batch[k] for k in _DEVICE_KEYS if k in batch}
+
+
+
+
+def _prepare_image(batch: dict, precision: PrecisionPolicy) -> jnp.ndarray:
+    """Host-normalized float images cast to compute dtype; raw uint8 images
+    go through the fused on-device normalize+standardize kernel (4x less
+    host->device traffic — ships bytes, not floats)."""
+    image = batch["image"]
+    if image.dtype == jnp.uint8:
+        return fused_normalize_standardize(
+            image, batch["mean"], batch["std"], out_dtype=precision.compute_dtype
+        )
+    return precision.cast_input(image)
 
 
 def make_train_step(
@@ -46,7 +61,7 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: dict):
         rng_aug, rng_drop, rng_next = jax.random.split(state.rng, 3)
-        image = precision.cast_input(batch["image"])
+        image = _prepare_image(batch, precision)
         mask = batch["mask"]
         if augment is not None:
             image, mask = apply_augmentations(rng_aug, image, mask, augment)
@@ -82,6 +97,7 @@ def make_train_step(
 def make_eval_step(
     task: SegmentationTask,
     precision: PrecisionPolicy,
+    return_preds: bool = False,
 ) -> Callable[[TrainState, dict], dict]:
     """Build the jitted eval step: loss + confusion-matrix contribution.
 
@@ -94,7 +110,7 @@ def make_eval_step(
     n = task.eval_classes
 
     def eval_step(state: TrainState, batch: dict):
-        image = precision.cast_input(batch["image"])
+        image = _prepare_image(batch, precision)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -104,19 +120,22 @@ def make_eval_step(
         loss = task.compute_loss(out, batch["mask"])
         preds = logits_to_preds(out.out, task.num_classes, task.threshold)
         cm = confusion_matrix(preds, batch["mask"], n)
-        return {
-            "loss": loss.astype(jnp.float32),
-            "confusion": cm,
-            "preds": preds,
-            "logits": out.out,
-        }
+        if return_preds:
+            return {
+                "loss": loss.astype(jnp.float32),
+                "confusion": cm,
+                "preds": preds,
+            }
+        # scalars only: keeps the eval loop free of [B, H, W] device->host
+        # transfers (the prediction map is only needed for visualization)
+        return {"loss": loss.astype(jnp.float32), "confusion": cm}
 
     return jax.jit(eval_step)
 
 
 def make_predict_step(task: SegmentationTask, precision: PrecisionPolicy):
     def predict_step(state: TrainState, batch: dict):
-        image = precision.cast_input(batch["image"])
+        image = _prepare_image(batch, precision)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
