@@ -94,7 +94,7 @@ class DataLoader:
                         return
                     samples = list(pool.map(self.dataset.__getitem__, chunk))
                     batch = collate(samples)
-                    batch["valid_count"] = valid
+                    batch["valid_count"] = np.int32(valid)
                     q.put(batch)
             q.put(None)
 

@@ -86,7 +86,7 @@ class StreamBatcher:
             count += 1
             if len(buf) == self.batch_size:
                 batch = collate(buf)
-                batch["valid_count"] = self.batch_size
+                batch["valid_count"] = np.int32(self.batch_size)
                 yield batch
                 buf = []
             if self.epoch_size is not None and count >= self.epoch_size:
@@ -96,7 +96,7 @@ class StreamBatcher:
             while len(buf) < self.batch_size:  # pad with wraparound
                 buf.append(buf[len(buf) % valid])
             batch = collate(buf)
-            batch["valid_count"] = valid
+            batch["valid_count"] = np.int32(valid)
             yield batch
 
     def __iter__(self) -> Iterator[dict]:

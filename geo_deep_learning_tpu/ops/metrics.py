@@ -22,17 +22,29 @@ import jax.numpy as jnp
 
 
 def confusion_matrix(
-    preds: jnp.ndarray, targets: jnp.ndarray, num_classes: int
+    preds: jnp.ndarray,
+    targets: jnp.ndarray,
+    num_classes: int,
+    sample_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Dense ``[C, C]`` confusion matrix (rows = target, cols = pred).
 
     Implemented as a one-hot matmul so it runs on the MXU instead of a
     scatter (TPU scatters serialize; a ``[N, C]ᵀ @ [N, C]`` dot does not).
+
+    ``sample_weights`` (leading-dim vector, e.g. 0/1 validity of padded
+    eval samples) scales each sample's pixel contributions.
     """
+    b = preds.shape[0]
     p = preds.reshape(-1)
     t = targets.reshape(-1)
     t_oh = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
     p_oh = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
+    if sample_weights is not None:
+        per_pixel = jnp.repeat(
+            sample_weights.astype(jnp.float32), p.shape[0] // b
+        )
+        t_oh = t_oh * per_pixel[:, None]
     return jnp.dot(t_oh.T, p_oh, preferred_element_type=jnp.float32)
 
 

@@ -31,7 +31,7 @@ from geo_deep_learning_tpu.training.task import SegmentationTask
 
 # batch keys consumed by the jitted step; everything else (image names,
 # metadata strings) stays on host
-_DEVICE_KEYS = ("image", "mask", "wavelengths", "mean", "std")
+_DEVICE_KEYS = ("image", "mask", "wavelengths", "mean", "std", "valid_count")
 
 
 def device_batch(batch: dict) -> dict:
@@ -119,7 +119,13 @@ def make_eval_step(
         out = task.forward(variables, fwd_batch, train=False)
         loss = task.compute_loss(out, batch["mask"])
         preds = logits_to_preds(out.out, task.num_classes, task.threshold)
-        cm = confusion_matrix(preds, batch["mask"], n)
+        # padded tail batches (static shapes) carry valid_count; pad
+        # samples' pixels are masked out of the metric
+        weights = None
+        if "valid_count" in batch:
+            b = preds.shape[0]
+            weights = (jnp.arange(b) < batch["valid_count"]).astype(jnp.float32)
+        cm = confusion_matrix(preds, batch["mask"], n, sample_weights=weights)
         if return_preds:
             return {
                 "loss": loss.astype(jnp.float32),

@@ -51,7 +51,24 @@ class SegmentationTask:
         return (batch["image"],)
 
     def init_variables(self, rng: jax.Array, batch: dict) -> dict:
-        return self.model.init(rng, *self.model_args(batch), train=False)
+        # Initialize on the host CPU backend: eager init through a remote
+        # TPU dispatches every layer initializer separately, and a jitted
+        # init program is large and slow for the remote compiler — the CPU
+        # compiles it locally in seconds. The trainer re-places the state
+        # onto the mesh afterwards.
+        import numpy as np
+
+        args = tuple(
+            np.asarray(a) if hasattr(a, "shape") else a
+            for a in self.model_args(batch)
+        )
+        init = jax.jit(lambda r, *a: self.model.init(r, *a, train=False))
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            return init(rng, *args)
+        with jax.default_device(cpu):
+            return init(rng, *args)
 
     def forward(
         self,
