@@ -287,6 +287,7 @@ class DOFAv2(nn.Module):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     convert_patch_to_16: bool = False
+    remat: bool = False  # jax.checkpoint each ViT block
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -326,9 +327,12 @@ class DOFAv2(nn.Module):
         )
         seq = nn.Dropout(self.drop_rate, deterministic=not train)(seq)
         dpr = np.linspace(0.0, self.drop_path_rate, cfg.depth)
+        block_cls = (
+            nn.remat(ViTBlock, static_argnums=(2,)) if self.remat else ViTBlock
+        )
         features = []
         for i in range(cfg.depth):
-            seq = ViTBlock(
+            seq = block_cls(
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 init_values=cfg.init_values,
@@ -337,7 +341,7 @@ class DOFAv2(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"block{i}",
-            )(seq, train=train)
+            )(seq, train)
             if i in taps:
                 features.append(seq[:, 1:, :].reshape(b, gh, gw, d))
         # `norm` exists for checkpoint parity but is not applied to taps

@@ -27,6 +27,7 @@ class DOFASegmentation(nn.Module):
     encoder_name: str = "dofa_base"
     num_classes: int = 1
     decoder_channels: int = 256
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -40,6 +41,7 @@ class DOFASegmentation(nn.Module):
         in_hw = x.shape[1:3]
         encoder = DOFAv2(
             variant=self.encoder_name,
+            remat=self.remat,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="encoder",

@@ -29,6 +29,7 @@ class SegFormer(nn.Module):
     num_classes: int = 1
     use_dynamic_encoder: bool = False
     dropout_ratio: float = 0.1
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -38,11 +39,13 @@ class SegFormer(nn.Module):
         encoder_cls = (
             DynamicMixTransformer if self.use_dynamic_encoder else MixVisionTransformer
         )
+        enc_kwargs = {} if self.use_dynamic_encoder else {"remat": self.remat}
         feats = encoder_cls(
             variant=self.encoder_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="encoder",
+            **enc_kwargs,
         )(x, train=train)
         embedding_dim = 256 if self.encoder_name in ("mit_b0", "mit_b1") else 768
         logits = SegFormerMLPDecoder(

@@ -106,3 +106,14 @@ def test_dofa_segmentation_assembly():
     assert out.out.shape == (1, 112, 112, 5)
     assert out.aux.shape == (1, 112, 112, 5)
     assert out.out.dtype == jnp.float32
+
+
+def test_remat_matches_non_remat():
+    """jax.checkpoint'd blocks must be numerically identical in forward."""
+    m0 = SegFormer(encoder_name="mit_b0", num_classes=2)
+    m1 = SegFormer(encoder_name="mit_b0", num_classes=2, remat=True)
+    x = jnp.ones((1, 64, 64, 3))
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+    o0 = m0.apply(v, x, train=False).out
+    o1 = m1.apply(v, x, train=False).out
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
