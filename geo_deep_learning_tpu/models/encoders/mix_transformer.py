@@ -117,10 +117,24 @@ class SRAttention(nn.Module):
         )(kv_src).reshape(b, l_kv, 2, self.num_heads, head_dim)
         k, v = kv[:, :, 0], kv[:, :, 1]
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        attn = nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, c)
+        if self.attn_drop > 0 and train:
+            # dropout on probabilities requires the materialized matrix
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            attn = nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, c)
+        else:
+            # fused VMEM attention on TPU (einsum fallback elsewhere):
+            # never writes the [Lq, Lkv] probability matrix to HBM
+            from geo_deep_learning_tpu.ops.pallas.sr_attention import sr_attention
+
+            o = sr_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                scale,
+            )
+            out = o.transpose(0, 2, 1, 3).reshape(b, h, w, c)
         out = nn.Dense(
             c, kernel_init=trunc_normal_init(),
             dtype=self.dtype, param_dtype=self.param_dtype, name="proj",
