@@ -92,6 +92,7 @@ class TrainerConfig:
     log_every_n_steps: int = 10
     seed: int = 42
     augment: bool = True
+    accumulate_grad_batches: int = 1
     mesh: MeshConfig = field(default_factory=MeshConfig)
     visualize_max_samples: int = 3
     auto_test_after_fit: bool = True
@@ -203,6 +204,7 @@ class Trainer:
             lr=lr,
             schedule=schedule,
             plateau=self._plateau,
+            accumulate_steps=self.config.accumulate_grad_batches,
             grad_clip=self.config.grad_clip,
             freeze_patterns=freeze_layers,
             **opt_cfg,

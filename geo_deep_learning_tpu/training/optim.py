@@ -192,12 +192,16 @@ def build_optimizer(
     plateau: PlateauController | None = None,
     grad_clip: float | None = None,
     freeze_patterns: list[str] | None = None,
+    accumulate_steps: int = 1,
     **kwargs,
 ) -> optax.GradientTransformation:
     """Assemble the full gradient transformation.
 
     Exactly one of ``schedule`` (step-based) / ``plateau`` (epoch,
     metric-driven) / plain ``lr`` drives the learning rate.
+    ``accumulate_steps > 1`` wraps the whole transform in
+    ``optax.MultiSteps`` (the reference's Lightning
+    ``accumulate_grad_batches``).
     """
     name = _ALIASES.get(optimizer, optimizer).lower()
     if name not in _OPTIMIZERS:
@@ -228,6 +232,8 @@ def build_optimizer(
         tx = optax.multi_transform(
             {"train": tx, "frozen": optax.set_to_zero()}, labels
         )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx
 
 

@@ -93,3 +93,16 @@ def test_unknown_optimizer_raises():
 def test_torch_alias_names():
     tx = optim.build_optimizer(_params(), "torch.optim.AdamW", lr=1e-3)
     assert isinstance(tx, optax.GradientTransformation)
+
+
+def test_gradient_accumulation():
+    params = _params()
+    tx = optim.build_optimizer(params, "sgd", lr=1.0, accumulate_steps=2)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    u1, state = tx.update(grads, state, params)
+    # first micro-batch: no update applied yet
+    assert float(jnp.abs(u1["head"]["dense"]["kernel"]).sum()) == 0.0
+    u2, state = tx.update(grads, state, params)
+    # second: mean of the two grads applied (sgd lr=1 → update = -1)
+    np.testing.assert_allclose(np.asarray(u2["head"]["dense"]["kernel"]), -1.0)
