@@ -50,6 +50,10 @@ CLASS_PATH_ALIASES: dict[str, str] = {
         "geo_deep_learning_tpu.data.datamodule.CSVDataModule",
     "datamodules.wds_datamodule.MultiSensorDataModule":
         "geo_deep_learning_tpu.data.multisensor.MultiSensorDataModule",
+    # the reference dofa config's class path is stale/nonexistent
+    # (SURVEY.md §7); its init_args are CSV-shaped, so map it there
+    "datamodules.imagery_NonGeoDataModule.BlueSkyNonGeoDataModule":
+        "geo_deep_learning_tpu.data.datamodule.CSVDataModule",
 }
 
 _INTERP = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")

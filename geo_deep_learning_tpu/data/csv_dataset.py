@@ -40,6 +40,7 @@ class CSVDataset:
         norm_stats: dict[str, list[float]] | None = None,
         band_indices: list[int] | None = None,
         device_preprocess: bool = False,
+        data_type_max: float = 255.0,
     ) -> None:
         self.csv_root_folder = Path(csv_root_folder)
         self.patches_root_folder = Path(patches_root_folder)
@@ -49,6 +50,7 @@ class CSVDataset:
         # device_preprocess: emit raw uint8 pixels; normalization and
         # standardization fuse into the train step on device (Pallas)
         self.device_preprocess = device_preprocess
+        self.data_type_max = float(data_type_max)
         self.files = self._load_files()
         _log_dataset(split, len(self.files))
 
@@ -90,7 +92,8 @@ class CSVDataset:
             pass  # raw bytes; fused normalize+standardize happens on device
         else:
             image = image.astype(np.float32)
-            image = image / 255.0  # reference normalization(0..255 -> 0..1)
+            # reference normalization (0..data_type_max -> 0..1)
+            image = image / self.data_type_max
             image = (image - mean) / std
         mask, _ = read_geotiff(entry["mask"])
         mask = mask[..., 0].astype(np.int32)

@@ -25,6 +25,7 @@ class CSVDataModule:
         patch_size: Sequence[int] = (512, 512),
         band_indices: Sequence[int] | None = None,
         device_preprocess: bool = False,
+        data_type_max: float = 255.0,
         seed: int = 42,
     ) -> None:
         self.csv_root_folder = csv_root_folder
@@ -38,6 +39,7 @@ class CSVDataModule:
         self.patch_size = tuple(patch_size)
         self.band_indices = list(band_indices) if band_indices else None
         self.device_preprocess = device_preprocess
+        self.data_type_max = float(data_type_max)
         self.seed = seed
         self.datasets: dict[str, CSVDataset] = {}
 
@@ -49,6 +51,7 @@ class CSVDataModule:
             norm_stats=self.norm_stats,
             band_indices=self.band_indices,
             device_preprocess=self.device_preprocess,
+            data_type_max=self.data_type_max,
         )
 
     def setup(self, stage: str = "fit") -> None:

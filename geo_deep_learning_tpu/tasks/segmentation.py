@@ -31,7 +31,13 @@ class SegmentationTaskSpec:
         torch_weights: dict | None = None,
         aux_loss_weight: float = 0.4,
         uses_wavelengths: bool | None = None,
+        wavelengths: list[float] | None = None,
+        **extra: object,  # tolerate unknown keys (reference **kwargs)
     ) -> None:
+        if extra:
+            import logging
+
+            logging.getLogger(__name__).debug("ignoring task args: %s", list(extra))
         self.task = SegmentationTask(
             model=model,
             loss=loss,
@@ -40,6 +46,7 @@ class SegmentationTaskSpec:
             class_colors=list(class_colors) if class_colors else None,
             aux_loss_weight=aux_loss_weight,
             uses_wavelengths=uses_wavelengths,
+            default_wavelengths=list(wavelengths) if wavelengths else None,
         )
         self.optimizer = optimizer
         self.scheduler = scheduler

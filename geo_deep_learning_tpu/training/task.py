@@ -34,6 +34,7 @@ class SegmentationTask:
     class_colors: Sequence[str] | None = None
     monitor: str = "val_loss"
     uses_wavelengths: bool | None = None  # None = infer from model type
+    default_wavelengths: Sequence[float] | None = None  # batch fallback
 
     def __post_init__(self):
         if self.uses_wavelengths is None:
@@ -47,7 +48,10 @@ class SegmentationTask:
 
     def model_args(self, batch: dict) -> tuple:
         if self.uses_wavelengths:
-            return (batch["image"], batch["wavelengths"])
+            wv = batch.get("wavelengths")
+            if wv is None and self.default_wavelengths is not None:
+                wv = jnp.asarray(self.default_wavelengths, jnp.float32)
+            return (batch["image"], wv)
         return (batch["image"],)
 
     def init_variables(self, rng: jax.Array, batch: dict) -> dict:

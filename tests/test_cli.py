@@ -170,3 +170,21 @@ def test_cli_shipped_configs_parse():
         spec = inst(cfg["model"])
         assert spec.task.model is not None
         assert cfg["trainer"]["precision"] == "bf16-mixed"
+
+
+def test_reference_repo_configs_load_through_our_cli():
+    """The UPSTREAM reference's own YAML configs instantiate through our
+    config system (model + data sections), modulo host-specific paths."""
+    import pathlib
+
+    from geo_deep_learning_tpu.cli.config import instantiate as inst
+
+    ref = pathlib.Path("/root/reference/configs")
+    if not ref.exists():
+        pytest.skip("reference not mounted")
+    for name in ["unetplus_config_RGB", "segformer_config_RGB", "dofa_config_RGB"]:
+        cfg = load_config(ref / f"{name}.yaml")
+        spec = inst(cfg["model"])
+        assert spec.task.model is not None
+        dm = inst(cfg["data"])
+        assert dm.batch_size == 4
