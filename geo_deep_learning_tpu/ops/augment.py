@@ -75,6 +75,13 @@ def _grid_sample_crop(img, mask, y0, x0, crop_h, crop_w):
     ``y0/x0/crop_h/crop_w`` are per-sample floats in pixel units. Bilinear
     for the image, nearest for the mask; out-of-source coordinates produce
     zeros (matches Kornia's zero padding for oversized crops).
+
+    TPU formulation: the sampling grid is separable (row coordinate
+    depends only on the output row, column only on the output column), so
+    bilinear resampling is two dense matmuls with interpolation matrices
+    ``Wy[i, j] = relu(1 - |src_y_i - j|)`` — tent-kernel rows with ≤2
+    nonzeros that also encode zero padding. Matmuls run on the MXU;
+    the gather-based alternative serializes on TPU.
     """
     b, h, w = img.shape[0], img.shape[1], img.shape[2]
     # target pixel centers mapped into source coordinates
@@ -83,34 +90,22 @@ def _grid_sample_crop(img, mask, y0, x0, crop_h, crop_w):
     src_y = y0[:, None] + ys[None, :] * crop_h[:, None] - 0.5  # [B, H]
     src_x = x0[:, None] + xs[None, :] * crop_w[:, None] - 0.5  # [B, W]
 
-    def sample_one(im, ms, sy, sx):
-        y_lo = jnp.floor(sy).astype(jnp.int32)
-        x_lo = jnp.floor(sx).astype(jnp.int32)
-        fy = (sy - y_lo).astype(im.dtype)
-        fx = (sx - x_lo).astype(im.dtype)
+    j_h = jnp.arange(h, dtype=jnp.float32)
+    j_w = jnp.arange(w, dtype=jnp.float32)
+    # bilinear tent weights [B, out, src]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(src_y[:, :, None] - j_h[None, None, :]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(src_x[:, :, None] - j_w[None, None, :]))
+    imgf = img.astype(jnp.float32)
+    out = jnp.einsum("bij,bjwc->biwc", wy, imgf)
+    out = jnp.einsum("bxw,biwc->bixc", wx, out).astype(img.dtype)
 
-        def gather_img(yi, xi):
-            vy = (yi >= 0) & (yi < h)
-            vx = (xi >= 0) & (xi < w)
-            rows = im[jnp.clip(yi, 0, h - 1)]  # [H, W, C]
-            vals = rows[:, jnp.clip(xi, 0, w - 1)]  # [H, W, C]
-            return vals * (vy[:, None] & vx[None, :])[..., None].astype(im.dtype)
-
-        acc = (
-            gather_img(y_lo, x_lo) * ((1 - fy)[:, None] * (1 - fx)[None, :])[..., None]
-            + gather_img(y_lo, x_lo + 1) * ((1 - fy)[:, None] * fx[None, :])[..., None]
-            + gather_img(y_lo + 1, x_lo) * (fy[:, None] * (1 - fx)[None, :])[..., None]
-            + gather_img(y_lo + 1, x_lo + 1) * (fy[:, None] * fx[None, :])[..., None]
-        )
-        y_n = jnp.round(sy).astype(jnp.int32)
-        x_n = jnp.round(sx).astype(jnp.int32)
-        vy = (y_n >= 0) & (y_n < h)
-        vx = (x_n >= 0) & (x_n < w)
-        m = ms[jnp.clip(y_n, 0, h - 1)][:, jnp.clip(x_n, 0, w - 1)]
-        m = m * (vy[:, None] & vx[None, :]).astype(ms.dtype)
-        return acc, m
-
-    return jax.vmap(sample_one)(img, mask, src_y, src_x)
+    # nearest for labels: one-hot selection matrices (exact value transport)
+    ny = jnp.round(src_y)[:, :, None] == j_h[None, None, :]
+    nx = jnp.round(src_x)[:, :, None] == j_w[None, None, :]
+    mf = mask.astype(jnp.float32)
+    m = jnp.einsum("bij,bjw->biw", ny.astype(jnp.float32), mf)
+    m = jnp.einsum("bxw,biw->bix", nx.astype(jnp.float32), m)
+    return out, jnp.round(m).astype(mask.dtype)
 
 
 def random_resized_crop(key, img, mask, scale, ratio=(3.0 / 4.0, 4.0 / 3.0)):
