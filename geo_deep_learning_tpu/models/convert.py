@@ -202,12 +202,20 @@ def convert_mit(state: Mapping[str, np.ndarray], in_channels: int = 3) -> dict:
 # --------------------------------------------------------------------------
 
 
-def convert_dofa(state: Mapping[str, np.ndarray]) -> dict:
+def convert_dofa(
+    state: Mapping[str, np.ndarray], num_heads: int | None = None
+) -> dict:
     """DOFA v2 (reference HF layout after its own remapping) → ``DOFAv2``.
 
     torch names (dofa_v2.py): patch_embed.weight_generator.{transformer_encoder.layers.0.*, fc_weight, fc_bias, weight_tokens, bias_token},
     patch_embed.fclayer.{w1,w2}, cls_token, blocks.{i}.{norm1,attn.qkv,attn.proj,ls1.gamma,norm2,mlp.fc1,mlp.fc2,ls2.gamma}, norm.
+
+    ``num_heads`` overrides the d_model→heads table (base 768→12,
+    large 1024→16) for non-standard dims.
     """
+
+    def heads_of(d_model: int) -> int:
+        return num_heads if num_heads is not None else _dofa_heads(d_model)
     params: dict = {}
 
     def ln(src: str, dst: str) -> None:
@@ -290,7 +298,7 @@ def convert_dofa(state: Mapping[str, np.ndarray]) -> dict:
         elif rest == "attn.qkv.weight":
             d_model = val.shape[1]
             # qkv fused [3D, D]; flax MHA wants per-head [D, H, hd]
-            n_heads = _dofa_heads(d_model)
+            n_heads = heads_of(d_model)
             hd = d_model // n_heads
             for j, name in enumerate(("query", "key", "value")):
                 part = val[j * d_model : (j + 1) * d_model]
@@ -298,14 +306,14 @@ def convert_dofa(state: Mapping[str, np.ndarray]) -> dict:
                      _dense(part).reshape(d_model, n_heads, hd))
         elif rest == "attn.qkv.bias":
             d_model = val.shape[0] // 3
-            n_heads = _dofa_heads(d_model)
+            n_heads = heads_of(d_model)
             hd = d_model // n_heads
             for j, name in enumerate(("query", "key", "value")):
                 part = val[j * d_model : (j + 1) * d_model]
                 _set(params, f"{fp}/attn/{name}/bias", part.reshape(n_heads, hd))
         elif rest == "attn.proj.weight":
             d_model = val.shape[0]
-            n_heads = _dofa_heads(d_model)
+            n_heads = heads_of(d_model)
             hd = d_model // n_heads
             _set(params, f"{fp}/attn/out/kernel",
                  _dense(val).reshape(n_heads, hd, d_model))

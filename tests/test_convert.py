@@ -261,3 +261,96 @@ def test_merge_pretrained_shape_check():
     bad = {"params": {"conv1": {"kernel": np.zeros((3, 3, 3, 8), np.float32)}}}
     with pytest.raises(ValueError, match="shape mismatch"):
         convert.merge_pretrained(model_vars, bad, "encoder")
+
+
+class TorchViTBlock(tnn.Module):
+    """timm-style ViT block with LayerScale (DOFA blocks), timm naming."""
+
+    def __init__(self, dim=64, heads=4, mlp_ratio=4.0, init_values=1e-5):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+
+        class Attn(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.qkv = tnn.Linear(dim, dim * 3, bias=True)
+                self.proj = tnn.Linear(dim, dim)
+
+            def forward(self, x):
+                b, n, c = x.shape
+                qkv = self.qkv(x).reshape(b, n, 3, heads, c // heads)
+                q, k, v = qkv.permute(2, 0, 3, 1, 4)
+                attn = (q @ k.transpose(-2, -1)) * (c // heads) ** -0.5
+                attn = attn.softmax(dim=-1)
+                return self.proj((attn @ v).transpose(1, 2).reshape(b, n, c))
+
+        class LS(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.gamma = tnn.Parameter(torch.full((dim,), init_values))
+
+            def forward(self, x):
+                return x * self.gamma
+
+        class Mlp(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc1 = tnn.Linear(dim, int(dim * mlp_ratio))
+                self.fc2 = tnn.Linear(int(dim * mlp_ratio), dim)
+
+            def forward(self, x):
+                return self.fc2(tF.gelu(self.fc1(x)))
+
+        self.attn = Attn()
+        self.ls1 = LS()
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+        self.mlp = Mlp()
+        self.ls2 = LS()
+
+    def forward(self, x):
+        x = x + self.ls1(self.attn(self.norm1(x)))
+        return x + self.ls2(self.mlp(self.norm2(x)))
+
+
+def test_dofa_vit_block_conversion_parity():
+    from geo_deep_learning_tpu.models.encoders.dofa import ViTBlock
+
+    torch.manual_seed(5)
+    dim = 64
+    ref = TorchViTBlock(dim=dim, heads=4).eval()
+    with torch.no_grad():  # non-trivial LayerScale values
+        ref.ls1.gamma.uniform_(-0.1, 0.1)
+        ref.ls2.gamma.uniform_(-0.1, 0.1)
+    state = {f"blocks.0.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    state["cls_token"] = np.zeros((1, 1, dim), np.float32)
+    # minimal patch-embed tensors so convert_dofa runs
+    d = 128
+    tl = tnn.TransformerEncoderLayer(d_model=d, nhead=4, activation="gelu",
+                                     norm_first=False, dropout=0.0)
+    state.update({
+        f"patch_embed.weight_generator.transformer_encoder.layers.0.{k}": v.numpy()
+        for k, v in tl.state_dict().items()
+    })
+    state.update({
+        "patch_embed.weight_generator.weight_tokens": np.zeros((128, d), np.float32),
+        "patch_embed.weight_generator.bias_token": np.zeros((1, d), np.float32),
+        "patch_embed.weight_generator.fc_weight.weight": np.zeros((10, d), np.float32),
+        "patch_embed.weight_generator.fc_weight.bias": np.zeros((10,), np.float32),
+        "patch_embed.weight_generator.fc_bias.weight": np.zeros((16, d), np.float32),
+        "patch_embed.weight_generator.fc_bias.bias": np.zeros((16,), np.float32),
+        "patch_embed.fclayer.w1.weight": np.zeros((d, d), np.float32),
+        "patch_embed.fclayer.w1.bias": np.zeros((d,), np.float32),
+        "patch_embed.fclayer.w2.weight": np.zeros((d, d), np.float32),
+        "patch_embed.fclayer.w2.bias": np.zeros((d,), np.float32),
+    })
+    converted = convert.convert_dofa(state, num_heads=4)
+    block_params = converted["params"]["block0"]
+
+    m = ViTBlock(num_heads=4, drop_path=0.0, init_values=1e-5)
+    x = np.random.default_rng(6).normal(size=(2, 10, dim)).astype(np.float32)
+    init = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    assert jax.tree_util.tree_structure(init["params"]) == jax.tree_util.tree_structure(block_params)
+    ours = m.apply({"params": block_params}, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        theirs = ref(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=ATOL)
