@@ -4,6 +4,12 @@ from geo_deep_learning_tpu.inference.sliding_window import (
     SlidingWindowConfig,
     predict_scene,
     sliding_window_logits,
+    sliding_window_logits_sharded,
 )
 
-__all__ = ["SlidingWindowConfig", "predict_scene", "sliding_window_logits"]
+__all__ = [
+    "SlidingWindowConfig",
+    "predict_scene",
+    "sliding_window_logits",
+    "sliding_window_logits_sharded",
+]

@@ -56,8 +56,7 @@ def _blend_window(tile: int, kind: str) -> np.ndarray:
     return np.maximum(w2, 1e-3)
 
 
-@partial(jax.jit, static_argnames=("forward", "tile", "batch_size", "num_classes"))
-def _scan_tiles(
+def _accumulate_tiles(
     forward: Callable,
     scene: jnp.ndarray,
     coords: jnp.ndarray,  # [N_pad, 2] (row, col) origins; pad rows = (0, 0)
@@ -67,6 +66,7 @@ def _scan_tiles(
     batch_size: int,
     num_classes: int,
 ):
+    """Accumulate weighted logits + weights over a tile list (one device)."""
     h, w = scene.shape[0], scene.shape[1]
     acc = jnp.zeros((h, w, num_classes), dtype=jnp.float32)
     wsum = jnp.zeros((h, w, 1), dtype=jnp.float32)
@@ -102,7 +102,49 @@ def _scan_tiles(
         return (acc, wsum), None
 
     (acc, wsum), _ = jax.lax.scan(body, (acc, wsum), (coords_b, valid_b))
+    return acc, wsum
+
+
+@partial(jax.jit, static_argnames=("forward", "tile", "batch_size", "num_classes"))
+def _scan_tiles(
+    forward: Callable,
+    scene: jnp.ndarray,
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    window: jnp.ndarray,
+    tile: int,
+    batch_size: int,
+    num_classes: int,
+):
+    acc, wsum = _accumulate_tiles(
+        forward, scene, coords, valid, window, tile, batch_size, num_classes
+    )
     return acc / jnp.maximum(wsum, 1e-8)
+
+
+def _plan_tiles(scene, cfg: SlidingWindowConfig, multiple: int):
+    """Pad the scene to ≥1 tile, build the tile-origin list padded to a
+    multiple of ``multiple`` with a validity mask."""
+    tile = cfg.tile_size
+    h, w = scene.shape[0], scene.shape[1]
+    pad_h = max(tile - h, 0)
+    pad_w = max(tile - w, 0)
+    if pad_h or pad_w:
+        scene = jnp.pad(
+            jnp.asarray(scene), ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect"
+        )
+    hp, wp = scene.shape[0], scene.shape[1]
+    stride = tile - cfg.overlap
+    rows = _tile_origins(hp, tile, stride)
+    cols = _tile_origins(wp, tile, stride)
+    coords = np.array([(r, c) for r in rows for c in cols], dtype=np.int32)
+    n = len(coords)
+    n_pad = -(-n // multiple) * multiple - n
+    if n_pad:
+        coords = np.concatenate([coords, np.zeros((n_pad, 2), np.int32)])
+    valid = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
+    window = jnp.asarray(_blend_window(tile, cfg.blend))
+    return scene, coords, valid, window, h, w
 
 
 def sliding_window_logits(
@@ -118,34 +160,79 @@ def sliding_window_logits(
     blended logits [H, W, K].
     """
     cfg = config or SlidingWindowConfig()
-    tile = cfg.tile_size
-    h, w = scene.shape[0], scene.shape[1]
-    pad_h = max(tile - h, 0)
-    pad_w = max(tile - w, 0)
-    if pad_h or pad_w:
-        scene = jnp.pad(
-            jnp.asarray(scene), ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect"
-        )
-    hp, wp = scene.shape[0], scene.shape[1]
-    stride = tile - cfg.overlap
-    rows = _tile_origins(hp, tile, stride)
-    cols = _tile_origins(wp, tile, stride)
-    coords = np.array([(r, c) for r in rows for c in cols], dtype=np.int32)
-    n = len(coords)
-    n_pad = -(-n // cfg.batch_size) * cfg.batch_size - n
-    if n_pad:
-        coords = np.concatenate([coords, np.zeros((n_pad, 2), np.int32)])
-    valid = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
-    window = jnp.asarray(_blend_window(tile, cfg.blend))
+    scene, coords, valid, window, h, w = _plan_tiles(scene, cfg, cfg.batch_size)
     out = _scan_tiles(
         forward,
         jnp.asarray(scene),
         jnp.asarray(coords),
         jnp.asarray(valid),
         window,
-        tile,
+        cfg.tile_size,
         cfg.batch_size,
         num_classes,
+    )
+    return out[:h, :w]
+
+
+def sliding_window_logits_sharded(
+    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    scene: np.ndarray | jnp.ndarray,
+    num_classes: int,
+    mesh,
+    config: SlidingWindowConfig | None = None,
+) -> jnp.ndarray:
+    """Data-parallel scene inference over a device mesh.
+
+    BASELINE.json config #5 ("full-scene sliding-window tiled inference,
+    data-parallel over a v5e mesh"): the tile list is striped across the
+    mesh's data axis; each device accumulates a local weighted canvas from
+    its tiles (the scene is replicated in HBM), and one ``psum`` over ICI
+    merges the canvases before blending. The model forward — the
+    expensive part — runs fully parallel.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from geo_deep_learning_tpu.core.mesh import DATA_AXIS
+
+    cfg = config or SlidingWindowConfig()
+    n_data = mesh.shape[DATA_AXIS]
+    scene, coords, valid, window, h, w = _plan_tiles(
+        scene, cfg, cfg.batch_size * n_data
+    )
+    # stripe tiles over devices: device d gets coords[d::n_data] so work
+    # stays balanced even when the tail is padding
+    order = np.arange(len(coords)).reshape(-1, n_data).T.reshape(-1)
+    coords = coords[order]
+    valid = valid[order]
+
+    tile = cfg.tile_size
+
+    @partial(jax.jit, static_argnames=())
+    def run(scene_a, coords_a, valid_a, window_a):
+        def body(scene_l, coords_l, valid_l, window_l):
+            acc, wsum = _accumulate_tiles(
+                forward, scene_l, coords_l, valid_l, window_l,
+                tile, cfg.batch_size, num_classes,
+            )
+            acc = jax.lax.psum(acc, DATA_AXIS)
+            wsum = jax.lax.psum(wsum, DATA_AXIS)
+            return acc / jnp.maximum(wsum, 1e-8)
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=P(),
+            check_rep=False,
+        )(scene_a, coords_a, valid_a, window_a)
+
+    out = run(
+        jnp.asarray(scene), jnp.asarray(coords), jnp.asarray(valid), window
     )
     return out[:h, :w]
 

@@ -96,3 +96,24 @@ def test_predict_scene_writes_georeferenced_output(tmp_path):
     assert pgeo.epsg == 32617
     np.testing.assert_allclose(pgeo.transform.to_tuple(), geo.transform.to_tuple())
     assert set(np.unique(pred)).issubset({0, 1})
+
+
+def test_sharded_matches_single_device():
+    """Mesh-parallel tiled inference must equal the single-device result."""
+    from geo_deep_learning_tpu.core.mesh import MeshConfig, create_mesh
+    from geo_deep_learning_tpu.inference import sliding_window_logits_sharded
+
+    rng = np.random.default_rng(5)
+    scene = rng.normal(size=(70, 90, 3)).astype(np.float32)
+
+    def forward(tiles):
+        k = jnp.ones((3, 3, 3, 2)) / 27.0
+        return jax.lax.conv_general_dilated(
+            tiles, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    cfg = SlidingWindowConfig(tile_size=32, overlap=16, batch_size=2)
+    single = sliding_window_logits(forward, scene, 2, cfg)
+    mesh = create_mesh(MeshConfig())
+    sharded = sliding_window_logits_sharded(forward, scene, 2, mesh, cfg)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-4)
