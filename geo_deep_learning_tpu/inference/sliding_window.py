@@ -228,7 +228,7 @@ def sliding_window_logits_sharded(
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(scene_a, coords_a, valid_a, window_a)
 
     out = run(
