@@ -117,3 +117,23 @@ def test_remat_matches_non_remat():
     o0 = m0.apply(v, x, train=False).out
     o1 = m1.apply(v, x, train=False).out
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+
+
+def test_dofa_large_variant():
+    from geo_deep_learning_tpu.models.encoders.dofa import create_dofa_large
+
+    m = create_dofa_large(drop_path_rate=0.0)
+    assert m.embed_dim == 1024
+    x = jnp.ones((1, 56, 56, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x, WAVELENGTHS_RGB, train=False)
+    feats = m.apply(vars_, x, WAVELENGTHS_RGB, train=False)
+    assert len(feats) == 4  # taps (5, 9, 15, 21)
+    assert all(f.shape == (1, 4, 4, 1024) for f in feats)
+
+
+def test_mit_registry_complete():
+    from geo_deep_learning_tpu.models.encoders.mix_transformer import mit_configs
+
+    assert set(mit_configs) == {f"mit_b{i}" for i in range(6)}
+    assert mit_configs["mit_b5"].depths == (3, 6, 40, 3)
+    assert mit_configs["mit_b0"].embed_dims == (32, 64, 160, 256)
