@@ -21,6 +21,7 @@ logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "build" / "libgdltiff.so"
+_TAR_LIB_PATH = _NATIVE_DIR / "build" / "libgdltar.so"
 _DTYPES = {
     1: np.uint8,
     2: np.uint16,
@@ -78,6 +79,80 @@ def get_lib() -> ctypes.CDLL | None:
         _lib = lib
         logger.info("native libtiff decoder loaded from %s", _LIB_PATH)
     return _lib
+
+
+_tar_lib: ctypes.CDLL | None = None
+_tar_tried = False
+
+
+def get_tar_lib() -> ctypes.CDLL | None:
+    global _tar_lib, _tar_tried
+    if _tar_lib is not None:
+        return _tar_lib
+    if _tar_tried or os.environ.get("GDL_TPU_NO_NATIVE") == "1":
+        return _tar_lib
+    with _lock:
+        if _tar_lib is not None or _tar_tried:
+            return _tar_lib
+        _tar_tried = True
+        if not _TAR_LIB_PATH.exists() and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_TAR_LIB_PATH))
+        except OSError as e:
+            logger.debug("native tar load failed: %s", e)
+            return None
+        lib.gdl_tar_open.argtypes = [ctypes.c_char_p]
+        lib.gdl_tar_open.restype = ctypes.c_void_p
+        lib.gdl_tar_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.gdl_tar_next.restype = ctypes.c_int
+        lib.gdl_tar_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.gdl_tar_read.restype = ctypes.c_int
+        lib.gdl_tar_close.argtypes = [ctypes.c_void_p]
+        lib.gdl_tar_close.restype = None
+        _tar_lib = lib
+        logger.info("native tar reader loaded from %s", _TAR_LIB_PATH)
+    return _tar_lib
+
+
+def iter_tar_members_native(path: str | Path):
+    """Yield (name, bytes) pairs from a tar shard via the native reader.
+
+    Returns None (not an iterator) when the native library is unavailable
+    so callers can fall back to Python's tarfile.
+    """
+    lib = get_tar_lib()
+    if lib is None:
+        return None
+
+    def gen():
+        handle = lib.gdl_tar_open(str(path).encode())
+        if not handle:
+            msg = f"cannot open tar shard {path}"
+            raise OSError(msg)
+        try:
+            name_buf = ctypes.create_string_buffer(257)
+            size = ctypes.c_int64()
+            while True:
+                rc = lib.gdl_tar_next(handle, name_buf, ctypes.byref(size))
+                if rc == 0:
+                    return
+                if rc < 0:
+                    msg = f"tar parse error in {path}"
+                    raise OSError(msg)
+                buf = ctypes.create_string_buffer(size.value)
+                if lib.gdl_tar_read(handle, buf) != 0:
+                    msg = f"tar read error in {path}"
+                    raise OSError(msg)
+                yield name_buf.value.decode("utf-8", "replace"), buf.raw
+        finally:
+            lib.gdl_tar_close(handle)
+
+    return gen()
 
 
 def read_pixels_native(path: str | Path) -> np.ndarray | None:

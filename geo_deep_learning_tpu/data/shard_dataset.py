@@ -95,6 +95,20 @@ def encode_spatial(lat: float, lon: float) -> np.ndarray:
         return np.zeros(4, dtype=np.float32)
 
 
+def _iter_members(shard_path: str) -> Iterator[tuple[str, bytes]]:
+    """(member name, payload) pairs; native C++ reader with tarfile fallback."""
+    from geo_deep_learning_tpu.data._native import iter_tar_members_native
+
+    native = iter_tar_members_native(shard_path)
+    if native is not None:
+        yield from native
+        return
+    with tarfile.open(shard_path, "r|*") as tar:  # streaming mode
+        for member in tar:
+            if member.isfile():
+                yield member.name, tar.extractfile(member).read()
+
+
 def iter_tar_samples(shard_path: str) -> Iterator[dict[str, Any]]:
     """Stream grouped samples out of one tar shard.
 
@@ -102,29 +116,25 @@ def iter_tar_samples(shard_path: str) -> Iterator[dict[str, Any]]:
     sample; '.npy' members decode to arrays, '.json' to dicts. Groups are
     emitted when the key changes (webdataset's sequential grouping).
     """
-    with tarfile.open(shard_path, "r|*") as tar:  # streaming mode
-        current_key: str | None = None
-        sample: dict[str, Any] = {}
-        for member in tar:
-            if not member.isfile():
-                continue
-            name = Path(member.name).name
-            key, _, field = name.partition(".")
-            data = tar.extractfile(member).read()
-            if current_key is not None and key != current_key and sample:
-                sample["__key__"] = current_key
-                yield sample
-                sample = {}
-            current_key = key
-            if field.endswith("npy"):
-                sample[field] = np.load(io.BytesIO(data), allow_pickle=False)
-            elif field.endswith("json"):
-                sample[field] = json.loads(data)
-            else:
-                sample[field] = data
-        if sample and current_key is not None:
+    current_key: str | None = None
+    sample: dict[str, Any] = {}
+    for member_name, data in _iter_members(shard_path):
+        name = Path(member_name).name
+        key, _, field = name.partition(".")
+        if current_key is not None and key != current_key and sample:
             sample["__key__"] = current_key
             yield sample
+            sample = {}
+        current_key = key
+        if field.endswith("npy"):
+            sample[field] = np.load(io.BytesIO(data), allow_pickle=False)
+        elif field.endswith("json"):
+            sample[field] = json.loads(data)
+        else:
+            sample[field] = data
+    if sample and current_key is not None:
+        sample["__key__"] = current_key
+        yield sample
 
 
 class ShardedDataset:
@@ -233,8 +243,13 @@ class ShardedDataset:
 
         shards = sorted(self.shard_paths)
         if self.split == "trn" or self.split == "val":
-            # node splitting for trn+val; test keeps all shards (ref :415)
-            pc, pi = jax.process_count(), jax.process_index()
+            # node splitting for trn+val; test keeps all shards (ref :415).
+            # Host-side tooling may run without an initializable accelerator
+            # backend — degrade to single-process then.
+            try:
+                pc, pi = jax.process_count(), jax.process_index()
+            except RuntimeError:
+                pc, pi = 1, 0
             if pc > 1:
                 shards = shards[pi::pc]
         if self.split == "trn" and self.shardshuffle:

@@ -90,3 +90,78 @@ def test_native_faster_than_python_on_lzw(tmp_path):
     np.testing.assert_array_equal(native, arr)
     # native full-image decode should beat python decoding even ONE strip
     assert t_native < t_python_one_strip * 20  # generous: just sanity order
+
+
+def test_native_tar_matches_tarfile(tmp_path):
+    """Native tar reader yields identical members to Python tarfile."""
+    import io as _io
+    import json as _json
+    import tarfile as _tarfile
+
+    from geo_deep_learning_tpu.data import _native as nat
+
+    if nat.get_tar_lib() is None:
+        pytest.skip("native tar reader unavailable")
+    p = tmp_path / "shard.tar"
+    rng = np.random.default_rng(0)
+    with _tarfile.open(p, "w") as tar:
+        for i in range(5):
+            arr = rng.integers(0, 255, (4, 8, 8)).astype(np.uint8)
+            buf = _io.BytesIO()
+            np.save(buf, arr)
+            raw = buf.getvalue()
+            ti = _tarfile.TarInfo(f"sample{i}.image_patch.npy")
+            ti.size = len(raw)
+            tar.addfile(ti, _io.BytesIO(raw))
+            meta = _json.dumps({"i": i}).encode()
+            ti2 = _tarfile.TarInfo(f"sample{i}.metadata.json")
+            ti2.size = len(meta)
+            tar.addfile(ti2, _io.BytesIO(meta))
+
+    native = list(nat.iter_tar_members_native(p))
+    with _tarfile.open(p) as tar:
+        expected = [
+            (m.name, tar.extractfile(m).read()) for m in tar if m.isfile()
+        ]
+    assert [n for n, _ in native] == [n for n, _ in expected]
+    for (_, a), (_, b) in zip(native, expected):
+        assert a == b
+
+
+def test_shard_pipeline_uses_native_transparently(tmp_path):
+    """iter_tar_samples gives identical samples with and without native."""
+    import io as _io
+    import json as _json
+    import os as _os
+    import tarfile as _tarfile
+
+    from geo_deep_learning_tpu.data.shard_dataset import iter_tar_samples
+
+    p = tmp_path / "s.tar"
+    rng = np.random.default_rng(1)
+    with _tarfile.open(p, "w") as tar:
+        for i in range(3):
+            arr = rng.integers(0, 255, (3, 8, 8)).astype(np.uint8)
+            buf = _io.BytesIO()
+            np.save(buf, arr)
+            raw = buf.getvalue()
+            for field, payload in [("image_patch.npy", raw),
+                                   ("metadata.json", _json.dumps({"k": i}).encode())]:
+                ti = _tarfile.TarInfo(f"key{i}.{field}")
+                ti.size = len(payload)
+                tar.addfile(ti, _io.BytesIO(payload))
+    with_native = list(iter_tar_samples(p))
+    _os.environ["GDL_TPU_NO_NATIVE"] = "1"
+    try:
+        from geo_deep_learning_tpu.data import _native as nat
+        saved = nat._tar_lib, nat._tar_tried
+        nat._tar_lib, nat._tar_tried = None, False
+        without = list(iter_tar_samples(p))
+        nat._tar_lib, nat._tar_tried = saved
+    finally:
+        del _os.environ["GDL_TPU_NO_NATIVE"]
+    assert len(with_native) == len(without) == 3
+    for a, b in zip(with_native, without):
+        assert a["__key__"] == b["__key__"]
+        np.testing.assert_array_equal(a["image_patch.npy"], b["image_patch.npy"])
+        assert a["metadata.json"] == b["metadata.json"]
