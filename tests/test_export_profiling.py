@@ -67,3 +67,29 @@ def test_device_memory_stats_shape():
     stats = device_memory_stats()
     assert len(stats) == 8  # fake CPU mesh
     assert all("device" in s for s in stats)
+
+
+def test_export_dofa_with_wavelengths(tmp_path):
+    """DOFA exports with wavelengths baked in (static-λ serving): the whole
+    weight-generator subgraph becomes a constant of the artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation
+
+    model = DOFASegmentation(encoder_name="dofa_base", num_classes=2)
+    wv = [0.665, 0.549, 0.481]
+    x_raw = np.random.default_rng(1).uniform(0, 255, (1, 56, 56, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x_raw) / 255.0, jnp.asarray(wv), train=False
+    )
+    serve = make_serving_fn(
+        model.apply, variables, mean=[0.4] * 3, std=[0.2] * 3, num_classes=2,
+        wavelengths=wv,
+    )
+    direct = np.asarray(serve(jnp.asarray(x_raw)))
+    path = export_model(serve, (1, 56, 56, 3), tmp_path / "dofa.shlo",
+                        batch_polymorphic=False)
+    out = np.asarray(load_exported(path)(x_raw))
+    np.testing.assert_allclose(out, direct, atol=1e-5)
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-4)
