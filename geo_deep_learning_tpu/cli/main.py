@@ -138,7 +138,8 @@ def run_eval_from_ckpt(trainer, spec, datamodule, ckpt_path, mode: str):
     # (e.g. inject_hyperparams for plateau) restores structurally
     trainer.state = trainer._init_state(
         spec.task, first, spec.optimizer, spec.scheduler, None,
-        spec.weights_from_checkpoint_path, spec.load_parts, spec.freeze_layers,
+        weights_from_checkpoint_path=spec.weights_from_checkpoint_path,
+        load_parts=spec.load_parts, freeze_layers=spec.freeze_layers,
     )
     if ckpt_path:
         mgr = CheckpointManager(trainer.config.checkpoint_dir)

@@ -135,7 +135,7 @@ def iter_tar_members_native(path: str | Path):
             msg = f"cannot open tar shard {path}"
             raise OSError(msg)
         try:
-            name_buf = ctypes.create_string_buffer(257)
+            name_buf = ctypes.create_string_buffer(4096)
             size = ctypes.c_int64()
             while True:
                 rc = lib.gdl_tar_next(handle, name_buf, ctypes.byref(size))

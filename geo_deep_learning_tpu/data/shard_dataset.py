@@ -96,17 +96,38 @@ def encode_spatial(lat: float, lon: float) -> np.ndarray:
 
 
 def _iter_members(shard_path: str) -> Iterator[tuple[str, bytes]]:
-    """(member name, payload) pairs; native C++ reader with tarfile fallback."""
+    """(member name, payload) pairs; native C++ reader with tarfile fallback.
+
+    If the native reader errors mid-archive (e.g. a name longer than its
+    4 KiB buffer), iteration resumes with Python tarfile, skipping the
+    file members already yielded (both readers enumerate file members in
+    archive order).
+    """
     from geo_deep_learning_tpu.data._native import iter_tar_members_native
 
+    yielded = 0
     native = iter_tar_members_native(shard_path)
     if native is not None:
-        yield from native
-        return
+        try:
+            for item in native:
+                yield item
+                yielded += 1
+            return
+        except OSError as e:
+            logger.warning(
+                "native tar reader failed on %s after %d members (%s); "
+                "resuming with Python tarfile",
+                shard_path,
+                yielded,
+                e,
+            )
     with tarfile.open(shard_path, "r|*") as tar:  # streaming mode
+        seen = 0
         for member in tar:
             if member.isfile():
-                yield member.name, tar.extractfile(member).read()
+                seen += 1
+                if seen > yielded:
+                    yield member.name, tar.extractfile(member).read()
 
 
 def iter_tar_samples(shard_path: str) -> Iterator[dict[str, Any]]:

@@ -80,6 +80,69 @@ class EarlyStopping:
         return self.bad_epochs > self.patience
 
 
+def build_schedule(
+    sched_cfg: dict,
+    lr: float,
+    total_steps: int | None,
+    steps_per_epoch: int | None,
+) -> tuple[Any, optim_lib.PlateauController | None]:
+    """Map a (normalized) reference scheduler config onto an optax schedule
+    or a host-side plateau controller.
+
+    Reference scheduler semantics this mirrors: ReduceLROnPlateau /
+    OneCycleLR wiring in tasks_with_models/segmentation_dofa.py:149-195 and
+    ``LinearWarmupCosineAnnealingLR`` (tools/schedulers/lr_scheduler.py:13),
+    whose ``warmup_epochs``/``max_epochs`` are EPOCH counts (Lightning steps
+    it once per epoch) — converted here to optimizer steps via
+    ``steps_per_epoch`` because optax schedules advance per update.
+    """
+    sched_cfg = dict(sched_cfg)
+    sched_name = sched_cfg.pop("name", sched_cfg.pop("class_path", None))
+    if sched_name in (
+        "ReduceLROnPlateau",
+        "torch.optim.lr_scheduler.ReduceLROnPlateau",
+    ):
+        plateau = optim_lib.PlateauController(
+            mode=sched_cfg.get("mode", "min"),
+            factor=float(sched_cfg.get("factor", 0.1)),
+            patience=int(sched_cfg.get("patience", 10)),
+            cooldown=int(sched_cfg.get("cooldown", 0)),
+            min_lr=float(sched_cfg.get("min_lr", 0.0)),
+            base_lr=lr,
+        )
+        return None, plateau
+    if sched_name in ("OneCycleLR", "torch.optim.lr_scheduler.OneCycleLR"):
+        steps = int(sched_cfg.get("total_steps") or total_steps or 1000)
+        return (
+            optim_lib.one_cycle(
+                max_lr=float(sched_cfg.get("max_lr", lr)), total_steps=steps
+            ),
+            None,
+        )
+    if sched_name in (
+        "LinearWarmupCosineAnnealingLR",
+        "tools.schedulers.lr_scheduler.LinearWarmupCosineAnnealingLR",
+    ):
+        spe = steps_per_epoch or 1
+        if steps_per_epoch is None:
+            logger.warning(
+                "LinearWarmupCosineAnnealingLR: steps_per_epoch unknown "
+                "(streaming loader?); treating warmup/max epochs as steps"
+            )
+        return (
+            optim_lib.linear_warmup_cosine_annealing(
+                warmup_epochs=int(sched_cfg.get("warmup_epochs", 0)) * spe,
+                max_epochs=int(sched_cfg.get("max_epochs", total_steps or 1000))
+                * spe,
+                warmup_start_lr=float(sched_cfg.get("warmup_start_lr", 0.0)),
+                eta_min=float(sched_cfg.get("eta_min", 0.0)),
+                base_lr=lr,
+            ),
+            None,
+        )
+    return None, None
+
+
 @dataclass
 class TrainerConfig:
     max_epochs: int = 10
@@ -120,6 +183,7 @@ class Trainer:
         optimizer: dict | None,
         scheduler: dict | None,
         total_steps: int | None,
+        steps_per_epoch: int | None = None,
         weights_from_checkpoint_path: str | None = None,
         load_parts: list[str] | None = None,
         freeze_layers: list[str] | None = None,
@@ -166,37 +230,10 @@ class Trainer:
         name = opt_cfg.pop("name", opt_cfg.pop("class_path", "adam"))
         lr = float(opt_cfg.pop("lr", 1e-4))
 
-        schedule = None
         sched_cfg = normalize(scheduler or {})
-        sched_name = sched_cfg.pop("name", sched_cfg.pop("class_path", None))
-        if sched_name in (
-            "ReduceLROnPlateau",
-            "torch.optim.lr_scheduler.ReduceLROnPlateau",
-        ):
-            self._plateau = optim_lib.PlateauController(
-                mode=sched_cfg.get("mode", "min"),
-                factor=float(sched_cfg.get("factor", 0.1)),
-                patience=int(sched_cfg.get("patience", 10)),
-                cooldown=int(sched_cfg.get("cooldown", 0)),
-                min_lr=float(sched_cfg.get("min_lr", 0.0)),
-                base_lr=lr,
-            )
-        elif sched_name in ("OneCycleLR", "torch.optim.lr_scheduler.OneCycleLR"):
-            steps = int(sched_cfg.get("total_steps") or total_steps or 1000)
-            schedule = optim_lib.one_cycle(
-                max_lr=float(sched_cfg.get("max_lr", lr)), total_steps=steps
-            )
-        elif sched_name in (
-            "LinearWarmupCosineAnnealingLR",
-            "tools.schedulers.lr_scheduler.LinearWarmupCosineAnnealingLR",
-        ):
-            schedule = optim_lib.linear_warmup_cosine_annealing(
-                warmup_epochs=int(sched_cfg.get("warmup_epochs", 0)),
-                max_epochs=int(sched_cfg.get("max_epochs", total_steps or 1000)),
-                warmup_start_lr=float(sched_cfg.get("warmup_start_lr", 0.0)),
-                eta_min=float(sched_cfg.get("eta_min", 0.0)),
-                base_lr=lr,
-            )
+        schedule, self._plateau = build_schedule(
+            sched_cfg, lr, total_steps, steps_per_epoch
+        )
 
         tx = optim_lib.build_optimizer(
             params,
@@ -255,6 +292,7 @@ class Trainer:
             optimizer,
             scheduler,
             total_steps,
+            steps_per_epoch,
             weights_from_checkpoint_path,
             load_parts,
             freeze_layers,
@@ -271,7 +309,6 @@ class Trainer:
             task, self.precision, AugmentConfig() if cfg.augment else None
         )
         eval_step = make_eval_step(task, self.precision)
-        viz_step = make_eval_step(task, self.precision, return_preds=True)
 
         stopper = (
             EarlyStopping(
@@ -307,7 +344,7 @@ class Trainer:
             # ---- validate ----
             val_metrics, val_sample = self._run_eval(
                 task, eval_step, datamodule.val_dataloader(), prefix="val",
-                viz_step=viz_step,
+                keep_first_preds=True,
             )
             epoch_metrics = {
                 "train_loss": train_loss,
@@ -352,7 +389,11 @@ class Trainer:
         self.ckpt.save_last(self.state)
 
         # ---- auto-test on best ckpt (reference train.py after_fit) ----
-        if cfg.auto_test_after_fit and is_host0():
+        # Runs on ALL processes: the jitted eval step reduces over globally
+        # sharded arrays, so gating it on host0 would strand the collective
+        # in a multi-host run. Only the logging side is host0-guarded (the
+        # tracker factory already returns a no-op tracker off host 0).
+        if cfg.auto_test_after_fit:
             try:
                 test_loader = datamodule.test_dataloader()
             except Exception:
@@ -375,7 +416,7 @@ class Trainer:
         loader: Iterable,
         prefix: str = "val",
         task_labels=None,
-        viz_step=None,
+        keep_first_preds: bool = False,
     ) -> tuple[dict, Any]:
         losses = []
         cm = jnp.zeros((task.eval_classes, task.eval_classes), dtype=jnp.float32)
@@ -383,12 +424,11 @@ class Trainer:
         n = 0
         for batch in loader:
             db = shard_batch(device_batch(batch), self.mesh)
-            if sample is None and viz_step is not None:
-                # first batch: the preds-returning variant feeds visualization
-                out = viz_step(self.state, db)
+            out = eval_step(self.state, db)
+            if sample is None and keep_first_preds:
+                # preds stay on device for every other batch; only the
+                # first batch is pulled to host to feed visualization
                 sample = {"batch": batch, "preds": np.asarray(out["preds"])}
-            else:
-                out = eval_step(self.state, db)
             losses.append(out["loss"])
             cm = cm + out["confusion"]
             n += 1

@@ -97,7 +97,6 @@ def make_train_step(
 def make_eval_step(
     task: SegmentationTask,
     precision: PrecisionPolicy,
-    return_preds: bool = False,
 ) -> Callable[[TrainState, dict], dict]:
     """Build the jitted eval step: loss + confusion-matrix contribution.
 
@@ -105,6 +104,12 @@ def make_eval_step(
     batches and derives dataset-level IoU — fixing the reference's
     per-batch-reset quirk (SURVEY.md §7) while :func:`batch_metrics` in
     ops.metrics still offers the quirk-parity per-batch IoU.
+
+    ``preds`` is always part of the output: it stays in HBM (no
+    device->host transfer) unless the caller fetches it, and returning it
+    unconditionally means ONE compiled eval program serves both the metric
+    loop and visualization (compile latency is this environment's pain
+    point — a preds-only variant used to cost a second full compile).
     """
 
     n = task.eval_classes
@@ -126,15 +131,11 @@ def make_eval_step(
             b = preds.shape[0]
             weights = (jnp.arange(b) < batch["valid_count"]).astype(jnp.float32)
         cm = confusion_matrix(preds, batch["mask"], n, sample_weights=weights)
-        if return_preds:
-            return {
-                "loss": loss.astype(jnp.float32),
-                "confusion": cm,
-                "preds": preds,
-            }
-        # scalars only: keeps the eval loop free of [B, H, W] device->host
-        # transfers (the prediction map is only needed for visualization)
-        return {"loss": loss.astype(jnp.float32), "confusion": cm}
+        return {
+            "loss": loss.astype(jnp.float32),
+            "confusion": cm,
+            "preds": preds,
+        }
 
     return jax.jit(eval_step)
 

@@ -165,3 +165,38 @@ def test_shard_pipeline_uses_native_transparently(tmp_path):
         assert a["__key__"] == b["__key__"]
         np.testing.assert_array_equal(a["image_patch.npy"], b["image_patch.npy"])
         assert a["metadata.json"] == b["metadata.json"]
+
+
+def test_native_tar_long_names(tmp_path):
+    """pax ('x' path record) and GNU ('L') long names parse natively.
+
+    Regression: metadata entries used to be skipped and the truncated
+    100-char ustar name returned, silently mis-grouping samples
+    (reference analog: tarfile/webdataset handle these transparently).
+    """
+    import io as _io
+    import tarfile as _tarfile
+
+    from geo_deep_learning_tpu.data import _native as nat
+
+    if nat.get_tar_lib() is None:
+        pytest.skip("native tar reader unavailable")
+
+    long_key = "a" * 120  # > 100-char ustar name field, no '/' for prefix
+    members = [
+        (f"{long_key}.image_patch.npy", b"payload-one"),
+        (f"{long_key}.metadata.json", b'{"k": 1}'),
+        ("short.npy", b"xyz"),
+    ]
+    for fmt, label in [
+        (_tarfile.PAX_FORMAT, "pax"),
+        (_tarfile.GNU_FORMAT, "gnu"),
+    ]:
+        p = tmp_path / f"long_{label}.tar"
+        with _tarfile.open(p, "w", format=fmt) as tar:
+            for name, payload in members:
+                ti = _tarfile.TarInfo(name)
+                ti.size = len(payload)
+                tar.addfile(ti, _io.BytesIO(payload))
+        native = list(nat.iter_tar_members_native(p))
+        assert native == members, f"{label} long names mis-parsed"

@@ -106,3 +106,47 @@ def test_gradient_accumulation():
     u2, state = tx.update(grads, state, params)
     # second: mean of the two grads applied (sgd lr=1 → update = -1)
     np.testing.assert_allclose(np.asarray(u2["head"]["dense"]["kernel"]), -1.0)
+
+
+def test_build_schedule_epoch_units_converted_to_steps():
+    """LinearWarmupCosineAnnealingLR configs are in EPOCHS (reference
+    tools/schedulers/lr_scheduler.py:13 is stepped once per epoch by
+    Lightning); the optax schedule advances per optimizer step, so the
+    trainer must scale by steps_per_epoch."""
+    from geo_deep_learning_tpu.training.loop import build_schedule
+
+    cfg = {
+        "name": "LinearWarmupCosineAnnealingLR",
+        "warmup_epochs": 2,
+        "max_epochs": 10,
+        "eta_min": 0.0,
+    }
+    spe = 50
+    schedule, plateau = build_schedule(cfg, 1e-3, total_steps=500, steps_per_epoch=spe)
+    assert plateau is None
+    # peak LR reached at end of warmup = 2 EPOCHS = 100 steps, not step 2
+    assert float(schedule(2 * spe)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(schedule(2)) < 1e-3 * 0.05  # still warming up at step 2
+    # cosine fully decayed at max_epochs * spe steps, not at step 10
+    assert float(schedule(10 * spe)) == pytest.approx(0.0, abs=1e-9)
+    assert float(schedule(10)) < 1e-3 * 0.11  # near start of warmup ramp
+
+
+def test_build_schedule_plateau_and_onecycle():
+    from geo_deep_learning_tpu.training.loop import build_schedule
+
+    sched, plateau = build_schedule(
+        {"name": "ReduceLROnPlateau", "factor": 0.5, "patience": 3},
+        1e-2,
+        None,
+        None,
+    )
+    assert sched is None and plateau is not None
+    assert plateau.factor == 0.5 and plateau.patience == 3
+
+    sched, plateau = build_schedule(
+        {"name": "OneCycleLR", "max_lr": 0.01}, 1e-3, 200, 20
+    )
+    assert plateau is None
+    peak = max(float(sched(i)) for i in range(0, 200, 5))
+    assert peak == pytest.approx(0.01, rel=1e-2)
