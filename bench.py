@@ -1,16 +1,21 @@
 """Benchmark: training throughput on the available accelerator.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "models": {...}}
 
-Primary metric: SegFormer-B0 512x512 training patches/sec/chip (bf16,
+Default (``--model all``) measures ALL THREE model families — SegFormer-B0,
+UNet++ ResNet-34, DOFA-base — at the production 512x512 patch size (bf16,
 full train step incl. on-device augmentation, loss, backward, optimizer).
-The reference publishes no numbers (BASELINE.md); the baseline anchor is a
-documented A100 estimate for the same workload (see BASELINE.md) and the
+The headline value/vs_baseline is the WORST model's ratio against its
+target, so the official record can't hide a miss behind the best model;
+the per-model breakdown rides in the "models" key.
+
+The reference publishes no numbers (BASELINE.md); each baseline anchor is
+a documented A100 estimate for the same workload (see BASELINE.md) and the
 north-star target is 3x that, so ``vs_baseline`` = ours / (3 x A100_est):
 1.0 means the 3x-A100 target is met.
 
-Usage: python bench.py [--model segformer_b0|unetpp_r34|dofa_base]
+Usage: python bench.py [--model all|segformer_b0|unetpp_r34|dofa_base]
                        [--batch N] [--steps N] [--image-size N]
 """
 
@@ -29,6 +34,13 @@ A100_ESTIMATE = {
     "segformer_b0": 55.0,
     "unetpp_r34": 60.0,
     "dofa_base": 25.0,
+}
+# per-model default batch (reference configs train at bs4/GPU; DOFA-base is
+# the largest model and benches at 4, the CNN/MiT families at 8)
+DEFAULT_BATCH = {
+    "segformer_b0": 8,
+    "unetpp_r34": 8,
+    "dofa_base": 4,
 }
 TARGET_MULTIPLIER = 3.0
 
@@ -92,19 +104,11 @@ def build(model_name: str, batch: int, image_size: int):
     return step, state, batch_data
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", default="segformer_b0")
-    p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--steps", type=int, default=60)
-    p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--image-size", type=int, default=512)
-    args = p.parse_args()
+def measure(model_name: str, batch: int, steps: int, warmup: int, image_size: int):
+    step, state, batch_data = build(model_name, batch, image_size)
+    device_batch = jax.device_put(batch_data)
 
-    step, state, batch = build(args.model, args.batch, args.image_size)
-    device_batch = jax.device_put(batch)
-
-    for _ in range(args.warmup):
+    for _ in range(warmup):
         state, metrics = step(state, device_batch)
     float(metrics["loss"])  # full sync
 
@@ -113,7 +117,7 @@ def main() -> None:
     # trip through the final step's data dependency chain); the median of
     # several reps rejects relay-latency outliers.
     reps = 3
-    per_rep = max(args.steps // reps, 1)
+    per_rep = max(steps // reps, 1)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -124,15 +128,52 @@ def main() -> None:
     times.sort()
     dt = times[len(times) // 2] / per_rep
 
-    patches_per_sec = args.batch / dt
-    baseline = A100_ESTIMATE.get(args.model, 50.0) * TARGET_MULTIPLIER
+    patches_per_sec = batch / dt
+    target = A100_ESTIMATE.get(model_name, 50.0) * TARGET_MULTIPLIER
+    return {
+        "patches_per_sec": round(patches_per_sec, 2),
+        "batch": batch,
+        "target": target,
+        "vs_baseline": round(patches_per_sec / target, 3),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="all")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--image-size", type=int, default=512)
+    args = p.parse_args()
+
+    names = (
+        ["segformer_b0", "unetpp_r34", "dofa_base"]
+        if args.model == "all"
+        else [args.model]
+    )
+    results = {}
+    for name in names:
+        batch = args.batch or DEFAULT_BATCH.get(name, 8)
+        results[name] = measure(
+            name, batch, args.steps, args.warmup, args.image_size
+        )
+
+    # headline = the WORST model vs its target: the official record must
+    # surface misses, not hide them behind the fastest model
+    worst = min(results, key=lambda n: results[n]["vs_baseline"])
+    size = args.image_size
     print(
         json.dumps(
             {
-                "metric": f"{args.model} {args.image_size}x{args.image_size} train patches/sec/chip",
-                "value": round(patches_per_sec, 2),
+                "metric": (
+                    f"{size}x{size} train patches/sec/chip, worst of "
+                    f"{len(results)} models ({worst})"
+                ),
+                "value": results[worst]["patches_per_sec"],
                 "unit": "patches/sec",
-                "vs_baseline": round(patches_per_sec / baseline, 3),
+                "vs_baseline": results[worst]["vs_baseline"],
+                "models": results,
             }
         )
     )

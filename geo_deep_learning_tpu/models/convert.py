@@ -328,6 +328,129 @@ def _dofa_heads(d_model: int) -> int:
     return {768: 12, 1024: 16}.get(d_model, max(1, d_model // 64))
 
 
+# --------------------------------------------------------------------------
+# Full-assembly converters (encoder + neck + decoder + heads)
+# --------------------------------------------------------------------------
+
+
+def _strip(state: Mapping[str, np.ndarray], prefix: str) -> dict[str, np.ndarray]:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def _put_convmodule(
+    params: dict,
+    stats: dict,
+    state: Mapping[str, np.ndarray],
+    src: str,
+    dst: str,
+) -> None:
+    """torch ``ConvModule`` (.conv + .norm BN) → flax ``ConvModule`` (/conv + /bn).
+
+    Reference models/utils.py:10-52 (bias=False) and the neck's own
+    ConvModule necks/multilevel_neck.py:28-67 (bias=True) both map here;
+    the bias is carried iff present in the state dict.
+    """
+    _set(params, f"{dst}/conv/kernel", _conv(np.asarray(state[f"{src}.conv.weight"])))
+    if f"{src}.conv.bias" in state:
+        _set(params, f"{dst}/conv/bias", np.asarray(state[f"{src}.conv.bias"]))
+    _set(params, f"{dst}/bn/scale", np.asarray(state[f"{src}.norm.weight"]))
+    _set(params, f"{dst}/bn/bias", np.asarray(state[f"{src}.norm.bias"]))
+    _set(stats, f"{dst}/bn/mean", np.asarray(state[f"{src}.norm.running_mean"]))
+    _set(stats, f"{dst}/bn/var", np.asarray(state[f"{src}.norm.running_var"]))
+
+
+def convert_segformer_model(
+    state: Mapping[str, np.ndarray], in_channels: int = 3
+) -> dict:
+    """Full reference ``SegFormerSegmentationModel`` state dict → our
+    ``SegFormer`` variables (encoder + all-MLP decoder).
+
+    torch names (models/segmentation/segformer.py + decoders/segformer_mlp.py):
+    encoder.*, decoder.linear_c{1..4}.proj, decoder.linear_fuse.{0:conv,1:BN},
+    decoder.linear_pred.
+    """
+    enc = convert_mit(_strip(state, "encoder."), in_channels)
+    params: dict = {"encoder": enc["params"]}
+    stats: dict = {}
+    dec: dict = {}
+    for i in range(1, 5):
+        _set(dec, f"linear_c{i}/kernel",
+             _dense(np.asarray(state[f"decoder.linear_c{i}.proj.weight"])))
+        _set(dec, f"linear_c{i}/bias",
+             np.asarray(state[f"decoder.linear_c{i}.proj.bias"]))
+    _set(dec, "linear_fuse/kernel",
+         _conv(np.asarray(state["decoder.linear_fuse.0.weight"])))
+    _set(dec, "bn/scale", np.asarray(state["decoder.linear_fuse.1.weight"]))
+    _set(dec, "bn/bias", np.asarray(state["decoder.linear_fuse.1.bias"]))
+    _set(stats, "decoder/bn/mean",
+         np.asarray(state["decoder.linear_fuse.1.running_mean"]))
+    _set(stats, "decoder/bn/var",
+         np.asarray(state["decoder.linear_fuse.1.running_var"]))
+    _set(dec, "linear_pred/kernel",
+         _conv(np.asarray(state["decoder.linear_pred.weight"])))
+    _set(dec, "linear_pred/bias", np.asarray(state["decoder.linear_pred.bias"]))
+    params["decoder"] = dec
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_dofa_model(
+    state: Mapping[str, np.ndarray],
+    num_heads: int | None = None,
+    pool_scales: tuple[int, ...] = (1, 2, 3, 6),
+) -> dict:
+    """Full reference ``DOFASegmentationModel`` state dict → our
+    ``DOFASegmentation`` variables.
+
+    torch names (models/segmentation/dofa.py:24-107): encoder.*,
+    neck.{lateral_convs,convs}.{i}, decoder.{psp_modules.{j}.1, bottleneck,
+    lateral_convs.{i}, fpn_convs.{i}, fpn_bottleneck}, aux_head.{convs.{i},
+    cls_seg}, head.conv.
+    """
+    enc = convert_dofa(_strip(state, "encoder."), num_heads=num_heads)
+    params: dict = {"encoder": enc["params"]}
+    stats: dict = {}
+
+    neck_p: dict = {}
+    neck_s: dict = {}
+    for i in range(4):
+        _put_convmodule(neck_p, neck_s, state, f"neck.lateral_convs.{i}", f"lateral{i}")
+        _put_convmodule(neck_p, neck_s, state, f"neck.convs.{i}", f"conv{i}")
+    params["neck"] = neck_p
+    stats["neck"] = neck_s
+
+    dec_p: dict = {}
+    dec_s: dict = {}
+    for j, scale in enumerate(pool_scales):
+        _put_convmodule(
+            dec_p, dec_s, state, f"decoder.psp_modules.{j}.1", f"ppm/pool{scale}"
+        )
+    _put_convmodule(dec_p, dec_s, state, "decoder.bottleneck", "bottleneck")
+    i = 0
+    while f"decoder.lateral_convs.{i}.conv.weight" in state:
+        _put_convmodule(dec_p, dec_s, state, f"decoder.lateral_convs.{i}", f"lateral{i}")
+        _put_convmodule(dec_p, dec_s, state, f"decoder.fpn_convs.{i}", f"fpn_conv{i}")
+        i += 1
+    _put_convmodule(dec_p, dec_s, state, "decoder.fpn_bottleneck", "fpn_bottleneck")
+    params["decoder"] = dec_p
+    stats["decoder"] = dec_s
+
+    aux_p: dict = {}
+    aux_s: dict = {}
+    i = 0
+    while f"aux_head.convs.{i}.conv.weight" in state:
+        _put_convmodule(aux_p, aux_s, state, f"aux_head.convs.{i}", f"conv{i}")
+        i += 1
+    _set(aux_p, "cls_seg/kernel", _conv(np.asarray(state["aux_head.cls_seg.weight"])))
+    _set(aux_p, "cls_seg/bias", np.asarray(state["aux_head.cls_seg.bias"]))
+    params["aux_head"] = aux_p
+    stats["aux_head"] = aux_s
+
+    _set(params, "head/conv/kernel", _conv(np.asarray(state["head.conv.weight"])))
+    _set(params, "head/conv/bias", np.asarray(state["head.conv.bias"]))
+    return {"params": params, "batch_stats": stats}
+
+
 def merge_pretrained(variables: dict, converted: dict, subtree: str) -> dict:
     """Graft converted encoder weights into a model's variable tree.
 

@@ -1,18 +1,26 @@
-"""UNet++ decoder: dense nested skip pathways.
+"""UNet++ decoder: dense nested skip pathways (smp-parity channel scheme).
 
 The reference delegates UNet++ entirely to ``segmentation_models_pytorch``
-(reference tasks_with_models/segmentation_unetplus.py:126-131); we implement
-it from the paper (Zhou et al., "UNet++: Redesigning Skip Connections to
-Exploit Multiscale Features in Image Segmentation", PAPERS.md):
+(reference tasks_with_models/segmentation_unetplus.py:126-131); this is a
+from-scratch NHWC/Flax implementation of the same network (Zhou et al.,
+"UNet++: Redesigning Skip Connections to Exploit Multiscale Features in
+Image Segmentation", PAPERS.md) with smp's exact block wiring and channel
+allocation:
 
-    X[i][j] = ConvBlock( concat( X[i][0..j-1], Up(X[i+1][j-1]) ) )
+- encoder features are consumed deepest-first; node ``x_{d}_{j}`` sits at
+  the resolution of (reversed) feature ``j+1`` and is computed as
+  ``Block(up2x(x_{d}_{j-1}), concat(x_{d+1..j}_{j}, feats[j+1]))``
+  (first column: ``Block(up2x(feats[d]), feats[d+1])``),
+- only the backbone column ``x_0_j`` uses ``decoder_channels[j]``; every
+  dense intermediate node (d>0) keeps its level's ENCODER width
+  (smp's ``skip_channels[j]``). This matters for TPU throughput as much as
+  parity: the r1 per-column scheme put 256-channel 3x3 convs at 1/2
+  resolution, ~3.1 TFLOP per bs8 forward vs ~0.9 TFLOP for this scheme.
 
-where ``i`` is the resolution level (0 = finest encoder feature) and ``j``
-the position along the skip pathway. The decoder consumes the encoder
-pyramid finest-first and emits a full-resolution feature map via a final
-skip-free upsampling block (matching smp's stride-1 output contract).
-Deep supervision (the paper's L1..L4 outputs) is available via
-``deep_supervision=True``.
+Node names match smp's ``blocks["x_{d}_{j}"]`` keys so torch checkpoints
+convert mechanically. A final skip-free block ``x_0_{depth}`` upsamples to
+input resolution (smp's stride-1 output contract). Deep supervision
+returns the finest-level nodes (the paper's L1..Ln outputs).
 """
 
 from __future__ import annotations
@@ -52,14 +60,13 @@ class DecoderBlock(nn.Module):
 
 
 class UnetPlusPlusDecoder(nn.Module):
-    """Dense nested decoder over an encoder pyramid.
+    """Dense nested decoder over an encoder pyramid (smp wiring).
 
     Args:
-        decoder_channels: out-channels per pathway column, deepest column
-            first (smp convention ``(256, 128, 64, 32, 16)``); entry ``j``
-            is used by nodes computed at step ``j`` of the pathway, and the
-            last entry by the final full-resolution block.
-        deep_supervision: also return the intermediate X[0][j] maps.
+        decoder_channels: backbone-column out-channels, deepest node first
+            (smp convention ``(256, 128, 64, 32, 16)``); the last entry is
+            the full-resolution output width.
+        deep_supervision: also return the finest-level node maps.
     """
 
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
@@ -71,33 +78,42 @@ class UnetPlusPlusDecoder(nn.Module):
     def __call__(
         self, features: Sequence[jnp.ndarray], train: bool = False
     ) -> jnp.ndarray | tuple[jnp.ndarray, list[jnp.ndarray]]:
-        depth = len(features) - 1  # pathway length
-        if len(self.decoder_channels) < depth + 1:
+        feats = list(features)[::-1]  # deepest first (smp reverses)
+        depth = len(feats) - 1  # pathway length
+        if len(self.decoder_channels) != depth + 1:
             msg = (
                 f"need {depth + 1} decoder channels for {len(features)} "
                 f"encoder features, got {len(self.decoder_channels)}"
             )
             raise ValueError(msg)
-        # grid[i][j] = X[i][j]; X[i][0] are the encoder features
-        grid: dict[tuple[int, int], jnp.ndarray] = {
-            (i, 0): f for i, f in enumerate(features)
-        }
-        for j in range(1, depth + 1):
-            for i in range(depth - j + 1):
-                skips = [grid[(i, k)] for k in range(j)]
-                grid[(i, j)] = DecoderBlock(
-                    self.decoder_channels[j - 1],
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"x_{i}_{j}",
-                )(grid[(i + 1, j - 1)], skips, train=train)
-        # final skip-free block: finest node → input resolution (stride 1)
+        out_ch = list(self.decoder_channels)
+        skip_ch = [f.shape[-1] for f in feats[1:]]  # encoder width per level
+
+        def block(d: int, j: int, x, skips):
+            return DecoderBlock(
+                out_ch[j] if d == 0 else skip_ch[j],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"x_{d}_{j}",
+            )(x, skips, train=train)
+
+        dense: dict[tuple[int, int], jnp.ndarray] = {}
+        for layer in range(depth):
+            for d in range(depth - layer):
+                j = d + layer
+                if layer == 0:
+                    dense[(d, d)] = block(d, d, feats[d], [feats[d + 1]])
+                else:
+                    skips = [dense[(i, j)] for i in range(d + 1, j + 1)]
+                    skips.append(feats[j + 1])
+                    dense[(d, j)] = block(d, j, dense[(d, j - 1)], skips)
+        # final skip-free block → input resolution (stride 1)
         out = DecoderBlock(
-            self.decoder_channels[depth],
+            out_ch[depth],
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            name="final",
-        )(grid[(0, depth)], (), train=train)
+            name=f"x_0_{depth}",
+        )(dense[(0, depth - 1)], (), train=train)
         if self.deep_supervision:
-            return out, [grid[(0, j)] for j in range(1, depth + 1)]
+            return out, [dense[(d, depth - 1)] for d in range(depth - 1, -1, -1)]
         return out

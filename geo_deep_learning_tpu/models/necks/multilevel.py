@@ -35,9 +35,14 @@ class MultiLevelNeck(nn.Module):
 
         def conv(features, kernel, name):
             if self.use_norm_act:
+                # the reference neck's ConvModule keeps the conv BIAS even
+                # with BN (nn.Conv2d default bias=True,
+                # necks/multilevel_neck.py:44-54) — unlike models/utils.py's
+                # ConvModule (bias=False); match it for weight parity
                 return lambda x: ConvModule(
                     features,
                     kernel_size=kernel,
+                    use_bias=True,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=name,

@@ -82,8 +82,24 @@ def resize(
 def _nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbor with torch's ``F.interpolate(mode='nearest')``
     index rule (floor of dst * in/out) — used for mask resizing where
-    label values must be preserved exactly."""
-    h, w = x.shape[1], x.shape[2]
-    rows = jnp.floor(jnp.arange(size[0]) * (h / size[0])).astype(jnp.int32)
-    cols = jnp.floor(jnp.arange(size[1]) * (w / size[1])).astype(jnp.int32)
+    label values must be preserved exactly.
+
+    Integer up/down factors avoid gathers entirely: an exact k× upsample
+    is a broadcast+reshape and an exact k× downsample is a strided slice
+    (both match the torch index rule), which XLA lowers to cheap
+    copies/slices instead of gather engines — this is the hot path for the
+    UNet++ decoder's 2x upsamples.
+    """
+    b, h, w, c = x.shape
+    oh, ow = size
+    if oh % h == 0 and ow % w == 0:
+        kh, kw = oh // h, ow // w
+        if kh == 1 and kw == 1:
+            return x
+        out = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, kh, w, kw, c))
+        return out.reshape(b, oh, ow, c)
+    if h % oh == 0 and w % ow == 0:
+        return x[:, :: h // oh, :: w // ow]
+    rows = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)
     return x[:, rows][:, :, cols]
