@@ -27,6 +27,7 @@ TPU notes:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Sequence
 
@@ -209,6 +210,50 @@ class DOFAv2Embedding(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class FusedSelfAttention(nn.Module):
+    """Self-attention with the Pallas fused kernel on the score path.
+
+    Parameter tree is IDENTICAL to ``nn.MultiHeadDotProductAttention``
+    (query/key/value DenseGeneral [D, H, hd] + out DenseGeneral), so
+    checkpoints and the torch converter are unaffected; on non-TPU
+    backends the kernel falls back to the same einsum composition flax
+    uses, keeping golden parity exact.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from geo_deep_learning_tpu.ops.pallas.mha import fused_attention
+
+        d = x.shape[-1]
+        hd = d // self.num_heads
+        dense = functools.partial(
+            nn.DenseGeneral,
+            features=(self.num_heads, hd),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        q = dense(name="query")(x)  # [B, L, H, hd]
+        k = dense(name="key")(x)
+        v = dense(name="value")(x)
+        o = fused_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            scale=1.0 / float(np.sqrt(hd)),
+        ).transpose(0, 2, 1, 3)
+        return nn.DenseGeneral(
+            features=d,
+            axis=(-2, -1),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="out",
+        )(o)
+
+
 class ViTBlock(nn.Module):
     """timm ViT block with LayerScale (``init_values``), qkv_bias=True."""
 
@@ -226,12 +271,12 @@ class ViTBlock(nn.Module):
         y = nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1"
         )(x)
-        y = nn.MultiHeadDotProductAttention(
+        y = FusedSelfAttention(
             num_heads=self.num_heads,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(y, y)
+        )(y)
         ls1 = self.param(
             "ls1_gamma",
             nn.initializers.constant(self.init_values),

@@ -1,0 +1,236 @@
+"""Fused multi-head attention (forward AND backward on-chip).
+
+Used by the DOFA ViT blocks (1297 tokens at 512² input, reference
+dofa_v2.py:435-487 hot loop) and offered to MiT's SR attention. XLA's
+attention materializes the [B, H, Lq, Lk] probability matrix in HBM
+between the two matmuls — at DOFA-base bs8 that is ~320 MB per block per
+direction, pure bandwidth. Here scores → softmax → PV run in one VMEM
+pass per query tile, and the backward recomputes probabilities on-chip
+from the saved logsumexp (flash-attention style), so probabilities never
+touch HBM in either direction.
+
+Scope: KV must fit VMEM whole (L ≤ ~4k at D ≤ 128) — true for every
+model in this framework (DOFA 1297+pad, MiT KV ≤ 1024). No online
+softmax streaming is needed at these lengths; a single-block softmax is
+exact.
+
+Falls back to the einsum composition (identical numerics) on non-TPU
+backends or unsupported shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_TQ = 512   # query rows per fwd grid step
+_TQB = 256  # query rows per bwd inner tile (keeps bwd under the VMEM cap)
+_NEG = -1e30
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, valid):
+    q = q_ref[0, 0].astype(jnp.float32)  # [TQ, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [L, D]
+    v = v_ref[0, 0].astype(jnp.float32)  # [L, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [TQ, L]
+    if valid < k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+    # lse is [TQ] logically; stored [TQ, 8] because TPU blocks need a
+    # tileable trailing pair (8 == the array's own last dim)
+    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(denom), (q.shape[0], 8))
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, valid, n_q,
+):
+    k = k_ref[0, 0].astype(jnp.float32)  # [L, D]
+    v = v_ref[0, 0].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_TQB, k.shape[0]), 1)
+
+    def body(i, carry):
+        dk, dv = carry
+        sl = pl.ds(i * _TQB, _TQB)
+        q = q_ref[0, 0, sl].astype(jnp.float32)      # [TQB, D]
+        g = g_ref[0, 0, sl].astype(jnp.float32)
+        o = o_ref[0, 0, sl].astype(jnp.float32)
+        lse = lse_ref[0, 0, sl, 0]                    # [TQB]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if valid < k.shape[0]:
+            s = jnp.where(col < valid, s, _NEG)
+        p = jnp.exp(s - lse[:, None])                 # [TQB, L]
+        dv = dv + jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(g * o, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq_ref[0, 0, sl] = (
+            jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0,
+        n_q,
+        body,
+        (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32)),
+    )
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _pad_len(n: int) -> int:
+    return -(-n // _TQ) * _TQ
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "valid"))
+def _fwd(q, k, v, scale, valid):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    grid = (b, h, lq // _TQ)
+    kv_spec = pl.BlockSpec(
+        (1, 1, lk, d), lambda bi, hi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    q_spec = pl.BlockSpec(
+        (1, 1, _TQ, d), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, valid=valid),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=(
+            q_spec,
+            pl.BlockSpec(
+                (1, 1, _TQ, 8), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lq, 8), jnp.float32),
+        ),
+    )(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "valid"))
+def _bwd_pallas(q, k, v, o, g, lse, scale, valid):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    full_q = pl.BlockSpec(
+        (1, 1, lq, d), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    full_kv = pl.BlockSpec(
+        (1, 1, lk, d), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    lse_spec = pl.BlockSpec(
+        (1, 1, lq, 8), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, scale=scale, valid=valid, n_q=lq // _TQB
+        ),
+        grid=(b, h),
+        in_specs=[full_q, full_kv, full_kv, full_q, full_q, lse_spec],
+        out_specs=(full_q, full_kv, full_kv),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+    )(q, k, v, o, g, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention(q, k, v, scale, valid):
+    o, _ = _fwd(q, k, v, scale, valid)
+    return o
+
+
+def _attention_fwd(q, k, v, scale, valid):
+    o, lse = _fwd(q, k, v, scale, valid)
+    return o, (q, k, v, o, lse)
+
+
+def _attention_bwd(scale, valid, res, g):
+    q, k, v, o, lse = res
+    dq, dk, dv = _bwd_pallas(q, k, v, o, g, lse, scale, valid)
+    return dq, dk, dv
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def _einsum_attention(q, k, v, scale):
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
+
+
+def _supported(q, k) -> bool:
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if d % 8 != 0 or d > 128:
+        return False
+    lq_pad, lk_pad = _pad_len(lq), max(_pad_len(lk), 8)
+    # backward VMEM: k/v/dk/dv [Lk,D] f32 + q/o/g/dq [Lq,D] bf16 blocks
+    # + s/p [TQB, Lk] f32 working tiles
+    vmem = (
+        4 * 4 * lk_pad * d
+        + 2 * 4 * lq_pad * d
+        + 4 * 3 * _TQB * lk_pad
+    )
+    if vmem > 12 * 1024 * 1024:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def fused_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """Attention over [B, H, L, D]; fully fused (fwd+bwd) on TPU.
+
+    Non-multiple-of-512 lengths are zero-padded internally; padded KV
+    columns are masked out of the softmax, so numerics match the unpadded
+    einsum composition exactly.
+    """
+    if not _supported(q, k):
+        return _einsum_attention(q, k, v, scale)
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    lq_pad, lk_pad = _pad_len(lq), max(_pad_len(lk), 8)
+
+    def pad(x, target):
+        if x.shape[2] == target:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)))
+
+    out = _attention(pad(q, lq_pad), pad(k, lk_pad), pad(v, lk_pad), scale, lk)
+    return out[:, :, :lq, :]
