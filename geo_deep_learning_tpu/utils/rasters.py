@@ -4,9 +4,11 @@ Reference equivalent: ``utils/rasters.py:14-145`` (rasterio/GDAL-based).
 Implemented on the in-repo GeoTIFF codec:
 
 - :func:`align_to_reference` — resample a raster onto a reference's
-  transform/extent with nearest/bilinear/cubic, honoring nodata
-  (reference :14-79). Same-CRS rasters only: full CRS reprojection is a
-  GDAL-scale capability; differing EPSG codes raise with a clear message.
+  transform/extent with nearest/bilinear/cubic, honoring nodata, and
+  reprojecting across CRSs when they differ (reference :14-79 uses
+  ``rasterio.warp.reproject``; here the supported families — geographic
+  WGS84, WGS84 UTM zones, Web Mercator — are handled by
+  :mod:`geo_deep_learning_tpu.utils.crs`).
 - :func:`compute_dataset_stats_from_list` — streaming per-band mean/std
   over a list of tiles excluding nodata (reference :82-145).
 """
@@ -24,6 +26,7 @@ from geo_deep_learning_tpu.data.geotiff import (
     read_geotiff,
     write_geotiff,
 )
+from geo_deep_learning_tpu.utils import crs as crs_lib
 
 logger = logging.getLogger(__name__)
 
@@ -108,14 +111,18 @@ def align_to_reference(
         raise ValueError(msg)
     src, src_geo = read_geotiff(input_path)
     ref, ref_geo = read_geotiff(reference_path)
-    if (
+    reproject = (
         src_geo.epsg is not None
         and ref_geo.epsg is not None
         and src_geo.epsg != ref_geo.epsg
+    )
+    if reproject and not (
+        crs_lib.is_supported(src_geo.epsg) and crs_lib.is_supported(ref_geo.epsg)
     ):
         msg = (
-            f"CRS reprojection ({src_geo.epsg} -> {ref_geo.epsg}) is not "
-            "supported by the built-in aligner; reproject with GDAL first"
+            f"CRS reprojection ({src_geo.epsg} -> {ref_geo.epsg}): one of the "
+            "codes is outside the supported families (EPSG:4326, EPSG:3857, "
+            "WGS84 UTM 326xx/327xx); reproject with GDAL first"
         )
         raise NotImplementedError(msg)
     nodata = nodata if nodata is not None else src_geo.nodata
@@ -126,9 +133,12 @@ def align_to_reference(
         np.arange(w_ref, dtype=np.float64) + 0.5,
         np.arange(h_ref, dtype=np.float64) + 0.5,
     )
-    # ref pixel center -> world -> src pixel (center-based, so -0.5 back)
+    # ref pixel center -> ref world -> (src world via CRS transform when
+    # they differ) -> src pixel (center-based, so -0.5 back)
     xs = ref_geo.transform.a * cols_ref + ref_geo.transform.b * rows_ref + ref_geo.transform.c
     ys = ref_geo.transform.d * cols_ref + ref_geo.transform.e * rows_ref + ref_geo.transform.f
+    if reproject:
+        xs, ys = crs_lib.transform_points(ref_geo.epsg, src_geo.epsg, xs, ys)
     src_cols = inv.a * xs + inv.b * ys + inv.c - 0.5
     src_rows = inv.d * xs + inv.e * ys + inv.f - 0.5
 
