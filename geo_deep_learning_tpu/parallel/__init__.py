@@ -15,7 +15,10 @@ from geo_deep_learning_tpu.core.mesh import (
     shard_batch,
 )
 from geo_deep_learning_tpu.parallel.placement import (
+    TENSOR_PARALLEL_RULES,
+    count_model_sharded,
     replicate_state,
+    shard_params,
     shard_params_spec,
 )
 
@@ -23,11 +26,14 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "MeshConfig",
+    "TENSOR_PARALLEL_RULES",
     "batch_sharding",
+    "count_model_sharded",
     "create_mesh",
     "local_batch_to_global",
     "replicate_state",
     "replicated_sharding",
     "shard_batch",
+    "shard_params",
     "shard_params_spec",
 ]

@@ -1,9 +1,14 @@
 """State placement over the mesh.
 
 Pure data parallelism (the reference's only strategy, SURVEY.md §2.3)
-replicates parameters and shards batches; these helpers centralize that
-placement and provide the hook where tensor-parallel PartitionSpecs will
-attach when the model axis grows beyond 1.
+replicates parameters and shards batches. When the mesh's model axis
+grows beyond 1, ``TENSOR_PARALLEL_RULES`` provides Megatron-style
+PartitionSpecs for the transformer families (MiT / DOFA ViT): the
+attention QKV and MLP up-projections are column-sharded (output features
+over ``model``) and the attention output / MLP down-projections are
+row-sharded (input features over ``model``), so each block needs exactly
+one reduce-scatter-equivalent collective that XLA emits from the
+annotations — there is no hand-written collective code.
 """
 
 from __future__ import annotations
@@ -12,30 +17,107 @@ from typing import Any
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geo_deep_learning_tpu.core.mesh import MODEL_AXIS, replicated_sharding
+
+# (param-path substring, PartitionSpec) — first match wins. Paths follow
+# the Flax module names in models/encoders/{mix_transformer,dofa}.py.
+# Column-parallel layers also shard their bias; row-parallel biases stay
+# replicated (they add after the contraction that sums over the shards).
+TENSOR_PARALLEL_RULES: list[tuple[str, P]] = [
+    # --- MixTransformer (SR attention + Mix-FFN), kernels [in, out] ---
+    ("attn/q/kernel", P(None, MODEL_AXIS)),
+    ("attn/q/bias", P(MODEL_AXIS)),
+    ("attn/kv/kernel", P(None, MODEL_AXIS)),
+    ("attn/kv/bias", P(MODEL_AXIS)),
+    ("attn/proj/kernel", P(MODEL_AXIS, None)),
+    ("mlp/fc1/kernel", P(None, MODEL_AXIS)),
+    ("mlp/fc1/bias", P(MODEL_AXIS)),
+    # depthwise 3x3 between the FCs: kernel [kh, kw, 1, hidden] acts
+    # per-channel, so it shards with the hidden (column) dimension
+    ("mlp/dwconv/kernel", P(None, None, None, MODEL_AXIS)),
+    ("mlp/dwconv/bias", P(MODEL_AXIS)),
+    ("mlp/fc2/kernel", P(MODEL_AXIS, None)),
+    # --- DOFA ViT (DenseGeneral QKV [D, H, hd]: shard the head axis) ---
+    ("attn/query/kernel", P(None, MODEL_AXIS, None)),
+    ("attn/query/bias", P(MODEL_AXIS, None)),
+    ("attn/key/kernel", P(None, MODEL_AXIS, None)),
+    ("attn/key/bias", P(MODEL_AXIS, None)),
+    ("attn/value/kernel", P(None, MODEL_AXIS, None)),
+    ("attn/value/bias", P(MODEL_AXIS, None)),
+    ("attn/out/kernel", P(MODEL_AXIS, None, None)),
+    ("mlp_fc1/kernel", P(None, MODEL_AXIS)),
+    ("mlp_fc1/bias", P(MODEL_AXIS)),
+    ("mlp_fc2/kernel", P(MODEL_AXIS, None)),
+]
+
+
+def _divisible(shape: tuple, spec: P, mesh: Mesh) -> bool:
+    """A spec is usable only if every sharded dim divides evenly."""
+    if len(spec) > len(shape):
+        return False
+    for dim, axis in zip(shape, spec):
+        if axis is None:
+            continue
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        if dim % size != 0:
+            return False
+    return True
 
 
 def shard_params_spec(params: Any, mesh: Mesh, rules: list | None = None) -> Any:
     """PartitionSpec tree for parameters.
 
     With no rules (default) everything is replicated — correct for DP.
-    ``rules`` is a list of ``(path_substring, PartitionSpec)`` pairs for
-    future tensor-parallel layouts (first match wins).
+    ``rules`` is a list of ``(path_substring, PartitionSpec)`` pairs
+    (first match wins); pass ``TENSOR_PARALLEL_RULES`` for the built-in
+    Megatron-style transformer layout. Rules whose sharded dims do not
+    divide the mesh axis fall back to replicated for that leaf.
     """
-    del mesh
 
-    def spec_of(path) -> P:
+    def spec_of(path, leaf) -> P:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
+        shape = getattr(leaf, "shape", ())
         for substr, spec in rules or []:
             if substr in name:
-                return spec
+                return spec if _divisible(tuple(shape), spec, mesh) else P()
         return P()
 
     flat = jax.tree_util.tree_flatten_with_path(params)
-    leaves = [spec_of(p) for p, _ in flat[0]]
+    leaves = [spec_of(p, leaf) for p, leaf in flat[0]]
     return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def shard_params(params: Any, mesh: Mesh, rules: list | None = None) -> Any:
+    """Place parameters on the mesh according to ``rules``.
+
+    The returned tree carries real ``NamedSharding``s, so an optimizer
+    initialized from it (``zeros_like``) and a jitted step consuming it
+    inherit the tensor-parallel layout end to end.
+    """
+    specs = shard_params_spec(params, mesh, rules)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def count_model_sharded(params: Any) -> int:
+    """Number of param leaves actually sharded over the model axis."""
+
+    def _uses_model(leaf) -> bool:
+        sharding = getattr(leaf, "sharding", None)
+        spec = getattr(sharding, "spec", None)
+        if spec is None:
+            return False
+        for axis in spec:
+            axes = axis if isinstance(axis, tuple) else (axis,)
+            if MODEL_AXIS in axes:
+                return True
+        return False
+
+    return sum(_uses_model(leaf) for leaf in jax.tree.leaves(params))
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:
