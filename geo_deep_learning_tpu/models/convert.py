@@ -47,6 +47,31 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     return {k: v.detach().numpy() for k, v in obj.items() if hasattr(v, "numpy")}
 
 
+def load_pretrained_tree(
+    path: str, fmt: str = "resnet", in_channels: int = 3
+) -> dict:
+    """Load a pretrained encoder tree from either a raw torch checkpoint
+    (converted on the fly) or a pre-converted ``.msgpack`` produced by
+    ``scripts/fetch_weights.py convert`` (no torch needed at train time).
+    """
+    if str(path).endswith(".msgpack"):
+        from pathlib import Path
+
+        from flax import serialization
+
+        return serialization.msgpack_restore(Path(path).read_bytes())
+    state_dict = load_torch_state_dict(path)
+    dispatch = {
+        "resnet": lambda: convert_resnet(state_dict, in_channels),
+        "mit": lambda: convert_mit(state_dict, in_channels),
+        "dofa": lambda: convert_dofa(state_dict),
+    }
+    if fmt not in dispatch:
+        msg = f"unknown torch_weights format {fmt!r}; one of {sorted(dispatch)}"
+        raise ValueError(msg)
+    return dispatch[fmt]()
+
+
 def _conv(w: np.ndarray) -> np.ndarray:
     """OIHW → HWIO."""
     return np.transpose(w, (2, 3, 1, 0))

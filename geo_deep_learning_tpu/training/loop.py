@@ -193,18 +193,16 @@ class Trainer:
         variables = task.init_variables(rng, device_batch(sample_batch))
 
         if torch_weights:
-            # warm start the encoder from a torch checkpoint file
+            # warm start the encoder from a torch checkpoint file or a
+            # pre-converted .msgpack from scripts/fetch_weights.py
             # ({"path", "format": resnet|mit|dofa, "in_channels", "subtree"})
             from geo_deep_learning_tpu.models import convert as cv
 
-            state_dict = cv.load_torch_state_dict(torch_weights["path"])
-            fmt = torch_weights.get("format", "resnet")
-            in_ch = int(torch_weights.get("in_channels", 3))
-            converted = {
-                "resnet": lambda: cv.convert_resnet(state_dict, in_ch),
-                "mit": lambda: cv.convert_mit(state_dict, in_ch),
-                "dofa": lambda: cv.convert_dofa(state_dict),
-            }[fmt]()
+            converted = cv.load_pretrained_tree(
+                torch_weights["path"],
+                fmt=torch_weights.get("format", "resnet"),
+                in_channels=int(torch_weights.get("in_channels", 3)),
+            )
             variables = cv.merge_pretrained(
                 dict(variables), converted, torch_weights.get("subtree", "encoder")
             )
