@@ -252,6 +252,61 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encode (MSB-first, early-change) — the exact dual
+    of ``_lzw_decode``; used for LZW-compressed writes (reference writes
+    aligned rasters LZW-compressed, utils/rasters.py:63-66)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0  # bit accumulator
+    acc_bits = 0
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << nbits) | code
+        acc_bits += nbits
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+        acc &= (1 << acc_bits) - 1  # keep the accumulator bounded
+
+    # strings are (prefix-code, next-byte) chains — O(1) dict ops, no
+    # byte-string concatenation
+    table: dict[tuple[int, int], int] = {}
+    next_code = 258
+    nbits = 9
+    emit(clear, nbits)
+    it = iter(data)
+    w = next(it, None)
+    if w is not None:
+        for byte in it:
+            key = (w, byte)
+            code = table.get(key)
+            if code is not None:
+                w = code
+                continue
+            emit(w, nbits)
+            if next_code >= 4093:
+                # table nearly full: reset (decoder resets on clear too)
+                emit(clear, nbits)
+                table.clear()
+                next_code = 258
+                nbits = 9
+            else:
+                table[key] = next_code
+                next_code += 1
+                # early change, shifted one entry: the decoder's table
+                # lags the encoder's by one and widens at (1<<nbits)-1
+                if next_code >= (1 << nbits) and nbits < 12:
+                    nbits += 1
+            w = byte
+        emit(w, nbits)
+    emit(eoi, nbits)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
 def _decompress(raw: bytes, compression: int) -> bytes:
     if compression == COMP_NONE:
         return raw
@@ -453,8 +508,17 @@ def write_geotiff(
     geo: GeoInfo | None = None,
     compress: str | None = "deflate",
     rows_per_strip: int = 64,
+    bigtiff: bool | None = None,
 ) -> None:
-    """Write an HWC (or HW) array as a striped GeoTIFF (little-endian)."""
+    """Write an HWC (or HW) array as a striped GeoTIFF (little-endian).
+
+    ``compress``: ``None``/"none", "deflate", or "lzw" (the reference
+    writes aligned rasters LZW-compressed, utils/rasters.py:63-66).
+    ``bigtiff``: force the BigTIFF container; default auto-promotes when
+    the payload cannot be addressed with 32-bit offsets (the reference
+    passes BIGTIFF=YES unconditionally; classic TIFF is kept here for
+    small files since every reader accepts it).
+    """
     if array.ndim == 2:
         array = array[..., None]
     height, width, spp = array.shape
@@ -471,14 +535,26 @@ def write_geotiff(
         msg = f"unsupported dtype {dtype}"
         raise ValueError(msg)
     bits = dtype.itemsize * 8
-    comp = COMP_DEFLATE_ADOBE if compress == "deflate" else COMP_NONE
+    comp = {
+        None: COMP_NONE,
+        "none": COMP_NONE,
+        "deflate": COMP_DEFLATE_ADOBE,
+        "lzw": COMP_LZW,
+    }[compress]
 
     strips = []
     for y0 in range(0, height, rows_per_strip):
         block = np.ascontiguousarray(
             array[y0 : y0 + rows_per_strip], dtype=dtype.newbyteorder("<")
         ).tobytes()
-        strips.append(zlib.compress(block, 6) if comp != COMP_NONE else block)
+        if comp == COMP_DEFLATE_ADOBE:
+            block = zlib.compress(block, 6)
+        elif comp == COMP_LZW:
+            block = _lzw_encode(block)
+        strips.append(block)
+
+    if bigtiff is None:
+        bigtiff = sum(len(s) for s in strips) + 65536 > 2**32 - 1
 
     entries: list[tuple[int, int, list]] = [
         (TAG_WIDTH, 4, [width]),
@@ -518,29 +594,37 @@ def write_geotiff(
             nd = f"{geo.nodata:g}\0"
             entries.append((TAG_GDAL_NODATA, 2, [nd]))
 
-    # layout: header(8) | IFD | tag overflow data | strip data
+    # layout: header | IFD | tag overflow data | strip data.
+    # Classic: 8B header, 12B entries, u32 counts/offsets, 4B inline.
+    # BigTIFF: 16B header, 20B entries, u64 counts/offsets, 8B inline.
     n_strips = len(strips)
-    entries.append((TAG_STRIP_OFFSETS, 4, [0] * n_strips))  # patched below
-    entries.append((TAG_STRIP_COUNTS, 4, [len(s) for s in strips]))
+    off_type = 16 if bigtiff else 4  # LONG8 vs LONG for strip offsets/counts
+    entries.append((TAG_STRIP_OFFSETS, off_type, [0] * n_strips))  # patched below
+    entries.append((TAG_STRIP_COUNTS, off_type, [len(s) for s in strips]))
     entries.sort(key=lambda e: e[0])
+
+    inline = 8 if bigtiff else 4
+    header_size = 16 if bigtiff else 8
+    entry_size = 20 if bigtiff else 12
+    ifd_size = (
+        (8 + len(entries) * entry_size + 8)
+        if bigtiff
+        else (2 + len(entries) * entry_size + 4)
+    )
 
     def encoded_size(typ: int, vals: list) -> int:
         if typ == 2:
             return sum(len(v) for v in vals)
         return _TYPE_SIZES[typ] * len(vals)
 
-    ifd_offset = 8
-    ifd_size = 2 + len(entries) * 12 + 4
+    ifd_offset = header_size
     overflow_offset = ifd_offset + ifd_size
-    overflow = bytearray()
-    # first pass: compute overflow layout
-    value_locs = {}
-    for tag, typ, vals in entries:
-        size = encoded_size(typ, vals)
-        if size > 4:
-            value_locs[tag] = overflow_offset + len(overflow)
-            overflow += b"\0" * size
-    data_offset = overflow_offset + len(overflow)
+    overflow_size = sum(
+        encoded_size(typ, vals)
+        for _, typ, vals in entries
+        if encoded_size(typ, vals) > inline
+    )
+    data_offset = overflow_offset + overflow_size
     # strip offsets now known
     strip_offsets = []
     pos = data_offset
@@ -557,21 +641,27 @@ def write_geotiff(
         fmt = _TYPE_FMT[typ]
         return struct.pack("<" + fmt * len(vals), *vals)
 
+    count_fmt = "<Q" if bigtiff else "<I"
     out = bytearray()
-    out += b"II*\0" + struct.pack("<I", ifd_offset)
-    out += struct.pack("<H", len(entries))
+    if bigtiff:
+        out += b"II" + struct.pack("<HHH", 43, 8, 0) + struct.pack("<Q", ifd_offset)
+        out += struct.pack("<Q", len(entries))
+    else:
+        out += b"II*\0" + struct.pack("<I", ifd_offset)
+        out += struct.pack("<H", len(entries))
     overflow = bytearray()
     for tag, typ, vals in entries:
         enc = encode_values(typ, vals)
         count = len(vals) if typ != 2 else len(enc)
-        out += struct.pack("<HHI", tag, typ, count)
-        if len(enc) <= 4:
-            out += enc.ljust(4, b"\0")
+        out += struct.pack("<HH", tag, typ) + struct.pack(count_fmt, count)
+        if len(enc) <= inline:
+            out += enc.ljust(inline, b"\0")
         else:
-            out += struct.pack("<I", overflow_offset + len(overflow))
+            out += struct.pack(count_fmt, overflow_offset + len(overflow))
             overflow += enc
-    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack(count_fmt, 0)  # next IFD
     out += overflow
+    assert len(out) == data_offset, (len(out), data_offset)
     for s in strips:
         out += s
     Path(path).write_bytes(bytes(out))

@@ -145,7 +145,9 @@ def align_to_reference(
     out = _sample(src, src_rows, src_cols, resampling, nodata)
     out = out.astype(src.dtype)
     out_geo = GeoInfo(transform=ref_geo.transform, epsg=ref_geo.epsg, nodata=nodata)
-    write_geotiff(output_path, out, out_geo)
+    # LZW-compressed, auto-BigTIFF for >4GB payloads (reference writes
+    # LZW + BIGTIFF=YES, utils/rasters.py:63-66)
+    write_geotiff(output_path, out, out_geo, compress="lzw")
     return Path(output_path)
 
 
