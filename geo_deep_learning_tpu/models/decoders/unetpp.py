@@ -27,17 +27,146 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from geo_deep_learning_tpu.models.layers import ConvModule
 from geo_deep_learning_tpu.ops.resize import resize
+from geo_deep_learning_tpu.ops.s2d import (
+    depth_to_space,
+    nearest_up2_packed,
+    pack_bias,
+    pack_conv3x3_kernel,
+    packed_concat,
+    repack_up2,
+    slot_mean_var,
+    space_to_depth,
+    tile_stats,
+)
+
+
+class PackedConv3x3(nn.Module):
+    """3x3 conv executed in 2x2 space-to-depth layout (ops/s2d.py).
+
+    Declares EXACTLY ``nn.Conv``'s parameters (``kernel`` [3,3,in,out],
+    optional ``bias`` [out], same initializers), so checkpoints, torch
+    converters, and golden-parity tests are oblivious to the packed
+    execution; only the MXU-visible GEMM shapes change (K,N x4).
+    """
+
+    features: int
+    in_features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            self.param_dtype,
+        )
+        pk = pack_conv3x3_kernel(kernel.astype(self.dtype))
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype),
+            pk,
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                self.param_dtype,
+            )
+            y = y + pack_bias(bias).astype(self.dtype)
+        return y
+
+
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over packed tensors with full-resolution statistics.
+
+    Parameter/batch_stats layout is identical to ``nn.BatchNorm`` on the
+    unpacked tensor (per ORIGINAL channel): the 4 slots partition the
+    original spatial positions, so slot-averaged batch statistics equal
+    the full-resolution statistics exactly.
+    """
+
+    channels: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.channels,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.channels,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros_init(),
+            jax.random.PRNGKey(0), (self.channels,), jnp.float32,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones_init(),
+            jax.random.PRNGKey(0), (self.channels,), jnp.float32,
+        )
+        if train:
+            mean, var = slot_mean_var(xp, self.channels)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        y = (xp.astype(jnp.float32) - tile_stats(mean)) * tile_stats(inv)
+        return (y + tile_stats(bias)).astype(self.dtype)
+
+
+class PackedConvModule(nn.Module):
+    """Packed-layout twin of ``ConvModule`` (same param tree)."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        xp = PackedConv3x3(
+            self.features,
+            self.in_features,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(xp)
+        xp = PackedBatchNorm(self.features, dtype=self.dtype, name="bn")(
+            xp, train=train
+        )
+        return nn.relu(xp)
 
 
 class DecoderBlock(nn.Module):
-    """Upsample x2 (nearest) → concat skips → 2x (3x3 conv + BN + ReLU)."""
+    """Upsample x2 (nearest) → concat skips → 2x (3x3 conv + BN + ReLU).
+
+    With ``packed=True`` the caller hands a PRE-PACKED input (upsample +
+    skip concat already done in space-to-depth layout via ops/s2d.py
+    helpers) with logical channel count ``packed_in_features``; both
+    convs run packed and the output stays packed. Exact same math, param
+    tree, and statistics as the unpacked path.
+    """
 
     features: int
+    packed: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -47,7 +176,32 @@ class DecoderBlock(nn.Module):
         x: jnp.ndarray,
         skips: Sequence[jnp.ndarray] = (),
         train: bool = False,
+        packed_in_features: int | None = None,
     ) -> jnp.ndarray:
+        if self.packed:
+            if skips:
+                msg = "packed DecoderBlock takes a pre-concatenated input"
+                raise ValueError(msg)
+            xp = x
+            in_feats = (
+                packed_in_features
+                if packed_in_features is not None
+                else x.shape[-1] // 4
+            )
+            xp = PackedConvModule(
+                self.features,
+                in_feats,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv1",
+            )(xp, train=train)
+            return PackedConvModule(
+                self.features,
+                self.features,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv2",
+            )(xp, train=train)
         x = resize(x, scale_factor=2.0, method="nearest")
         if skips:
             x = jnp.concatenate([x, *skips], axis=-1)
@@ -71,6 +225,13 @@ class UnetPlusPlusDecoder(nn.Module):
 
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     deep_supervision: bool = False
+    packed_tail: bool = False  # run the full-res block space-to-depth packed
+    # additionally pack the finest dense column (j == depth-1). The dense
+    # packed kernel is 4x the FLOPs of the original (structural zeros),
+    # which WINS for the <=32-channel full-res stages (<25% MXU
+    # utilization) but LOSES at the 64-channel half-res column (measured
+    # 62 -> 85 ms decoder fwd+bwd on v5e) — hence off by default.
+    packed_column: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -97,23 +258,74 @@ class UnetPlusPlusDecoder(nn.Module):
                 name=f"x_{d}_{j}",
             )(x, skips, train=train)
 
+        def packed_block(d: int, j: int, xp, in_feats: int):
+            return DecoderBlock(
+                out_ch[j] if d == 0 else skip_ch[j],
+                packed=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"x_{d}_{j}",
+            )(xp, (), train=train, packed_in_features=in_feats)
+
+        # with packed_tail, the finest column (j == depth-1, the nodes at
+        # 1/2 input resolution) and the final full-res block execute in
+        # space-to-depth layout (ops/s2d.py): identical math, 4x-wider
+        # GEMMs at 1/4 the spatial positions for the MXU
+        packed_j = depth - 1 if (self.packed_tail and self.packed_column) else -1
+
         dense: dict[tuple[int, int], jnp.ndarray] = {}
+        node_ch: dict[tuple[int, int], int] = {}
+        feat_last_packed = (
+            space_to_depth(feats[depth]) if packed_j >= 0 else None
+        )
         for layer in range(depth):
             for d in range(depth - layer):
                 j = d + layer
-                if layer == 0:
+                node_ch[(d, j)] = out_ch[j] if d == 0 else skip_ch[j]
+                if j == packed_j:
+                    x_in = feats[d] if layer == 0 else dense[(d, j - 1)]
+                    parts = [nearest_up2_packed(x_in)]
+                    chans = [x_in.shape[-1]]
+                    for i in range(d + 1, j + 1):
+                        parts.append(dense[(i, j)])  # already packed
+                        chans.append(node_ch[(i, j)])
+                    parts.append(feat_last_packed)
+                    chans.append(feats[j + 1].shape[-1])
+                    xp = packed_concat(parts, chans)
+                    dense[(d, j)] = packed_block(d, j, xp, sum(chans))
+                elif layer == 0:
                     dense[(d, d)] = block(d, d, feats[d], [feats[d + 1]])
                 else:
                     skips = [dense[(i, j)] for i in range(d + 1, j + 1)]
                     skips.append(feats[j + 1])
                     dense[(d, j)] = block(d, j, dense[(d, j - 1)], skips)
-        # final skip-free block → input resolution (stride 1)
-        out = DecoderBlock(
-            out_ch[depth],
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name=f"x_0_{depth}",
-        )(dense[(0, depth - 1)], (), train=train)
+        # final skip-free block → input resolution (stride 1); with
+        # packed_tail the result stays in space-to-depth layout
+        # [B, H/2, W/2, 4*out_ch] for the caller's packed head
+        if self.packed_tail:
+            x_fin = (
+                repack_up2(dense[(0, depth - 1)])
+                if depth - 1 == packed_j
+                else nearest_up2_packed(dense[(0, depth - 1)])
+            )
+            out = DecoderBlock(
+                out_ch[depth],
+                packed=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"x_0_{depth}",
+            )(x_fin, (), train=train, packed_in_features=node_ch[(0, depth - 1)])
+        else:
+            out = DecoderBlock(
+                out_ch[depth],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"x_0_{depth}",
+            )(dense[(0, depth - 1)], (), train=train)
         if self.deep_supervision:
-            return out, [dense[(d, depth - 1)] for d in range(depth - 1, -1, -1)]
+            ds = []
+            for d in range(depth - 1, -1, -1):
+                v = dense[(d, depth - 1)]
+                ds.append(depth_to_space(v) if depth - 1 == packed_j else v)
+            return out, ds
         return out

@@ -103,6 +103,30 @@ def nearest_up2_packed(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.tile(x, (1, 1, 1, 4))
 
 
+def packed_concat(parts: list[jnp.ndarray], channels: list[int]) -> jnp.ndarray:
+    """Concatenate packed tensors along LOGICAL channels.
+
+    ``concat([a, b])`` in original layout corresponds to interleaving the
+    slot groups: reshape each packed operand to [..., 4, C], concat on the
+    channel axis, flatten back to slot-major.
+    """
+    rs = [
+        p.reshape(*p.shape[:-1], 4, c) for p, c in zip(parts, channels)
+    ]
+    out = jnp.concatenate(rs, axis=-1)
+    return out.reshape(*parts[0].shape[:-1], 4 * sum(channels))
+
+
+def repack_up2(xp: jnp.ndarray) -> jnp.ndarray:
+    """Packed tensor at grid g (res 2g) -> packed nearest-up2 at grid 2g.
+
+    ``space_to_depth(nearest_up2(depth_to_space(xp)))``: moves one packing
+    level down the pyramid (the packed final block consumes the packed
+    finest-column output through this).
+    """
+    return nearest_up2_packed(depth_to_space(xp))
+
+
 def slot_mean_var(x_packed: jnp.ndarray, channels: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batch mean/variance per ORIGINAL channel from a packed tensor.
 

@@ -92,3 +92,39 @@ def test_unetpp_multispectral_input():
     vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
     out = m.apply(vars_, x, train=False)
     assert out.out.shape == (1, 32, 32, 2)
+
+
+def test_packed_tail_matches_unpacked():
+    """The space-to-depth packed tail (ops/s2d.py) is the SAME math:
+    identical param tree, matching logits and batch_stats updates."""
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    packed = UnetPlusPlus(encoder_name="resnet18", num_classes=3, packed_tail=True)
+    plain = UnetPlusPlus(encoder_name="resnet18", num_classes=3, packed_tail=False)
+    variables = packed.init(jax.random.PRNGKey(0), x, train=False)
+    # identical parameter trees (checkpoints interchangeable)
+    v2 = plain.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)
+
+    out_p = packed.apply(variables, x, train=False)
+    out_u = plain.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_p.out), np.asarray(out_u.out), atol=2e-4, rtol=1e-4
+    )
+
+    # train mode: logits AND the mutated batch_stats must match
+    op, mp = packed.apply(variables, x, train=True, mutable=["batch_stats"])
+    ou, mu = plain.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(op.out), np.asarray(ou.out), atol=2e-4, rtol=1e-4
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(mp)[0][0:],
+        jax.tree_util.tree_flatten_with_path(mu)[0][0:],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
+            err_msg=str(pa),
+        )
