@@ -204,6 +204,11 @@ class DecoderBlock(nn.Module):
             )(xp, train=train)
         x = resize(x, scale_factor=2.0, method="nearest")
         if skips:
+            # concat then conv: XLA fuses the concat into the conv read;
+            # a concat-free split-conv variant (sum of per-part convs over
+            # kernel slices) measured SLOWER on v5e (65.8 vs 60.5 ms
+            # decoder fwd+bwd) — the fragmented GEMMs lose more than the
+            # saved traffic.
             x = jnp.concatenate([x, *skips], axis=-1)
         x = ConvModule(
             self.features, dtype=self.dtype, param_dtype=self.param_dtype, name="conv1"
