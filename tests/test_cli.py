@@ -2,6 +2,9 @@
 
 import numpy as np
 import pytest
+
+# full end-to-end fits: the suite's dominant wall-clock cost
+pytestmark = pytest.mark.slow
 import yaml
 
 from geo_deep_learning_tpu.cli.config import (

@@ -7,6 +7,9 @@ tiny random patches, a real fit loop, no external data.
 import numpy as np
 import pytest
 
+# full end-to-end fits: the suite's dominant wall-clock cost
+pytestmark = pytest.mark.slow
+
 from geo_deep_learning_tpu.data.datamodule import CSVDataModule
 from geo_deep_learning_tpu.data.geotiff import write_geotiff
 from geo_deep_learning_tpu.ops.losses import DiceLoss
