@@ -304,7 +304,10 @@ class Trainer:
             logger.info("resumed from %s", ckpt_path)
 
         train_step = make_train_step(
-            task, self.precision, AugmentConfig() if cfg.augment else None
+            task,
+            self.precision,
+            AugmentConfig() if cfg.augment else None,
+            freeze_patterns=freeze_layers,
         )
         eval_step = make_eval_step(task, self.precision)
 

@@ -56,8 +56,32 @@ def make_train_step(
     task: SegmentationTask,
     precision: PrecisionPolicy,
     augment: AugmentConfig | None = AugmentConfig(),
+    freeze_patterns: list[str] | None = None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Build the jitted training step (donates the state)."""
+    """Build the jitted training step (donates the state).
+
+    ``freeze_patterns``: param-path substrings to freeze. Beyond the
+    optimizer mask (training/optim.py ``freeze_mask``), frozen subtrees
+    get ``stop_gradient`` inside the loss, so XLA dead-code-eliminates
+    their entire backward pass — matching the reference's
+    ``requires_grad=False`` cost profile (its frozen DOFA encoder never
+    runs backward, configs/dofa_config_RGB.yaml:57). BN statistics under
+    frozen modules still update, as in the reference's train() mode.
+    """
+
+    def _freeze(params):
+        if not freeze_patterns:
+            return params
+
+        def maybe_stop(path, leaf):
+            name = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", ""))) for p in path
+            )
+            if any(s in name for s in freeze_patterns):
+                return jax.lax.stop_gradient(leaf)
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(maybe_stop, params)
 
     def train_step(state: TrainState, batch: dict):
         rng_aug, rng_drop, rng_next = jax.random.split(state.rng, 3)
@@ -69,7 +93,7 @@ def make_train_step(
         fwd_batch["image"] = image
 
         def loss_fn(params):
-            variables = {"params": params}
+            variables = {"params": _freeze(params)}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             out, updates = task.forward(

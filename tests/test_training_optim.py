@@ -150,3 +150,52 @@ def test_build_schedule_plateau_and_onecycle():
     assert plateau is None
     peak = max(float(sched(i)) for i in range(0, 200, 5))
     assert peak == pytest.approx(0.01, rel=1e-2)
+
+
+def test_freeze_patterns_stop_gradient_in_step():
+    """make_train_step(freeze_patterns=...): frozen subtree receives NO
+    update (its backward is dead code), trainable parts still learn."""
+    import numpy as np
+    from flax import linen as nn
+
+    from geo_deep_learning_tpu.core.precision import PrecisionPolicy
+    from geo_deep_learning_tpu.core.train_state import TrainState
+    from geo_deep_learning_tpu.models.base import SegmentationOutput
+    from geo_deep_learning_tpu.ops.losses import dice_loss
+    from geo_deep_learning_tpu.training.steps import make_train_step
+    from geo_deep_learning_tpu.training.task import SegmentationTask
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (3, 3), padding="SAME", name="encoder")(x)
+            h = nn.relu(h)
+            return SegmentationOutput(
+                out=nn.Conv(3, (1, 1), name="head")(h), aux=None
+            )
+
+    model = Tiny()
+    task = SegmentationTask(model=model, loss=dice_loss, num_classes=3)
+    batch = {
+        "image": np.random.default_rng(0).normal(size=(4, 16, 16, 3)).astype(np.float32),
+        "mask": np.random.default_rng(1).integers(0, 3, (4, 16, 16)).astype(np.int32),
+    }
+    variables = task.init_variables(jax.random.PRNGKey(0), batch)
+    params0 = jax.tree.map(np.asarray, variables["params"])
+    tx = optim.build_optimizer(variables["params"], optimizer="adam", lr=1e-2)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats={}, rng=jax.random.PRNGKey(1),
+    )
+    step = make_train_step(
+        task, PrecisionPolicy.create("32-true"), augment=None,
+        freeze_patterns=["encoder"],
+    )
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["encoder"]["kernel"]), params0["encoder"]["kernel"]
+    )
+    assert not np.array_equal(
+        np.asarray(new_state.params["head"]["kernel"]), params0["head"]["kernel"]
+    )
