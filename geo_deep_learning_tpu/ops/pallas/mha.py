@@ -26,25 +26,36 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_TQ = 512   # query rows per fwd grid step
-_TQB = 256  # query rows per bwd inner tile (keeps bwd under the VMEM cap)
+_TQ = 128   # query rows per fwd grid step (also the pad granularity:
+            # 1297 tokens pad to 1408, not 1536 — the score matrix scales
+            # with Lq*Lk, so tighter padding is a direct compute win)
+_TQB = 128  # query rows per bwd inner tile (keeps bwd under the VMEM cap)
 _NEG = -1e30
+
+# MXU inputs stay bf16 with f32 accumulation (preferred_element_type) —
+# same contraction numerics as the XLA einsum path, and 2x the MXU rate
+# of f32xf32. Softmax/statistics run in f32; probabilities are cast to
+# bf16 for the PV / dV / dQ / dK matmuls exactly as _einsum_attention
+# casts p to q.dtype.
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, valid):
-    q = q_ref[0, 0].astype(jnp.float32)  # [TQ, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [L, D]
-    v = v_ref[0, 0].astype(jnp.float32)  # [L, D]
+    q = q_ref[0, 0]  # [TQ, D] bf16
+    k = k_ref[0, 0]  # [L, D] bf16
+    v = v_ref[0, 0]  # [L, D] bf16
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [TQ, L]
+    ) * scale  # [TQ, L] f32
     if valid < k.shape[0]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < valid, s, _NEG)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / denom
     o_ref[0, 0] = o.astype(o_ref.dtype)
     # lse is [TQ] logically; stored [TQ, 8] because TPU blocks need a
     # tileable trailing pair (8 == the array's own last dim)
@@ -55,33 +66,39 @@ def _bwd_kernel(
     q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref,
     dq_ref, dk_ref, dv_ref, *, scale, valid, n_q,
 ):
-    k = k_ref[0, 0].astype(jnp.float32)  # [L, D]
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]  # [L, D] bf16
+    v = v_ref[0, 0]
     col = jax.lax.broadcasted_iota(jnp.int32, (_TQB, k.shape[0]), 1)
 
     def body(i, carry):
         dk, dv = carry
         sl = pl.ds(i * _TQB, _TQB)
-        q = q_ref[0, 0, sl].astype(jnp.float32)      # [TQB, D]
-        g = g_ref[0, 0, sl].astype(jnp.float32)
-        o = o_ref[0, 0, sl].astype(jnp.float32)
+        q = q_ref[0, 0, sl]                           # [TQB, D] bf16
+        g = g_ref[0, 0, sl]
+        o = o_ref[0, 0, sl]
         lse = lse_ref[0, 0, sl, 0]                    # [TQB]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         if valid < k.shape[0]:
             s = jnp.where(col < valid, s, _NEG)
-        p = jnp.exp(s - lse[:, None])                 # [TQB, L]
+        p = jnp.exp(s - lse[:, None])                 # [TQB, L] f32
+        pb = p.astype(k.dtype)
         dv = dv + jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        delta = jnp.sum(g * o, axis=-1, keepdims=True)
-        ds = p * (dp - delta)
+        delta = jnp.sum(
+            g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+        )
+        ds = (p * (dp - delta)).astype(k.dtype)
         dq_ref[0, 0, sl] = (
-            jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
         ).astype(dq_ref.dtype)
         dk = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -197,12 +214,12 @@ def _supported(q, k) -> bool:
     if d % 8 != 0 or d > 128:
         return False
     lq_pad, lk_pad = _pad_len(lq), max(_pad_len(lk), 8)
-    # backward VMEM: k/v/dk/dv [Lk,D] f32 + q/o/g/dq [Lq,D] bf16 blocks
-    # + s/p [TQB, Lk] f32 working tiles
+    # backward VMEM: k/v bf16 + dk/dv f32 [Lk,D], q/o/g/dq bf16 [Lq,D]
+    # + s/p/dp/ds [TQB, Lk] working tiles (mixed f32/bf16; bound by 4xf32)
     vmem = (
-        4 * 4 * lk_pad * d
-        + 2 * 4 * lq_pad * d
-        + 4 * 3 * _TQB * lk_pad
+        (2 * 2 + 2 * 4) * lk_pad * d
+        + 4 * 2 * lq_pad * d
+        + 4 * 4 * _TQB * lk_pad
     )
     if vmem > 12 * 1024 * 1024:
         return False
