@@ -13,17 +13,55 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from geo_deep_learning_tpu.ops.fused_upconv import up4_conv3x3
 from geo_deep_learning_tpu.ops.resize import resize
+
+
+class _FusedUp4Conv(nn.Module):
+    """Param-compatible stand-in for ``nn.Conv(features, (3,3))`` preceded
+    by a 4x bilinear resize: declares exactly nn.Conv's parameters, but
+    executes the exact composite via ``ops.fused_upconv.up4_conv3x3``
+    (1.44x fewer FLOPs, no 144^2 intermediate). Checkpoints and torch
+    converters see an ordinary conv."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                self.param_dtype,
+            )
+            if self.use_bias
+            else None
+        )
+        return up4_conv3x3(x.astype(self.dtype), kernel, bias)
 
 
 class MultiLevelNeck(nn.Module):
     """``use_norm_act=True`` adds BN+ReLU to each ConvModule — the wiring the
     DOFA assembly uses (reference models/segmentation/dofa.py:56-62 passes
-    ``norm_cfg={"type": "BN"}, act_cfg={"type": "ReLU"}``)."""
+    ``norm_cfg={"type": "BN"}, act_cfg={"type": "ReLU"}``).
+
+    ``fuse_scale4`` (default on) executes the scale-4 branch's
+    resize+conv as one fractionally-strided conv (ops/fused_upconv.py) —
+    exact same math and param tree; the profile showed this branch's 3x3
+    conv at 144^2 to be the single most expensive op chain in DOFA."""
 
     out_channels: Sequence[int]
     scales: Sequence[float] = (0.5, 1, 2, 4)
     use_norm_act: bool = False
+    fuse_scale4: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -64,7 +102,62 @@ class MultiLevelNeck(nn.Module):
         outs = []
         for i, scale in enumerate(self.scales):
             x = laterals[i]
+            if scale == 4 and self.fuse_scale4:
+                outs.append(self._fused4(self.out_channels[i], f"conv{i}", x, train))
+                continue
             if scale != 1:
                 x = resize(x, scale_factor=float(scale), method="bilinear")
             outs.append(conv(self.out_channels[i], (3, 3), f"conv{i}")(x))
         return tuple(outs)
+
+    def _fused4(
+        self, features: int, name: str, x: jnp.ndarray, train: bool
+    ) -> jnp.ndarray:
+        """Scale-4 branch with the same param paths as the unfused one:
+        ``{name}/conv/kernel`` (+bias) and ``{name}/bn/*`` when norm is on,
+        ``{name}/kernel`` (+bias) when it is a bare conv."""
+        if not self.use_norm_act:
+            return _FusedUp4Conv(
+                features,
+                use_bias=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=name,
+            )(x)
+        # mirror ConvModule's structure under the SAME module name so the
+        # param tree is unchanged: wrap in a scope named {name} containing
+        # "conv" and "bn" children
+        return _FusedUpConvModule(
+            features,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )(x, train=train)
+
+
+class _FusedUpConvModule(nn.Module):
+    """ConvModule twin (conv bias=True + BN + ReLU) for the fused branch;
+    identical param tree to ``ConvModule(use_bias=True)``."""
+
+    features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = _FusedUp4Conv(
+            self.features,
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return nn.relu(x)

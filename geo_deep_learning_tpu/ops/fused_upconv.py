@@ -1,0 +1,137 @@
+"""Exact fusion of ``conv3x3(bilinear_up4(x))`` into one lhs-dilated conv.
+
+The MultiLevelNeck's scale-4 branch (reference
+``models/necks/multilevel_neck.py:158``: ``resize(scale_factor=4,
+mode="bilinear")`` then a 3x3 conv) is DOFA's single most expensive op
+chain: at 512^2 / bs8 the 3x3 768->768 conv over the upsampled 144^2 map
+costs 1.74 TF per pass and runs at near-peak MXU rate, so the only win
+left is algebraic. Because 4x half-pixel bilinear upsampling is itself a
+(transposed) convolution, the composition is EXACTLY a stride-1/4
+fractionally-strided conv of the *source-resolution* input with a 10x10
+kernel derived linearly from the 3x3 weights:
+
+    conv3(up4(x))[p] = sum_m x[m] * W[p - 4m],
+    W[u] = sum_k K[k] * phi(u + k - 1),   u in [-3, 6]
+    phi(v) = max(0, 1 - |(v + 0.5)/4 - 0.5|)   (the 4x tent)
+
+Per output pixel the 10-tap kernel touches only 2-3 source pixels per
+axis (tent support), so the executed FLOPs drop from 9 taps at 144^2 to
+an average 100/16 taps at 144^2 — a 1.44x compute cut — and the 255 MB
+(bs8 bf16) intermediate 144^2 tensor between resize and conv is never
+materialized. XLA lowers lhs-dilated convs with the same phase-split
+machinery it uses for conv backward passes, which the profile shows
+running at peak.
+
+Two border subtleties make the fusion exact rather than approximate:
+
+- torch's ``align_corners=False`` resize CLAMPS source coordinates at
+  the edges; replicate-padding the source by 1 pixel reproduces the
+  clamp exactly (the two tent taps collapse onto the same pixel).
+- the subsequent 3x3 conv ZERO-pads the upsampled map, while the fused
+  form would extend it by one more tent step; the difference lives only
+  in the outermost output ring and is removed by four cheap 1-D
+  corrections (rows own the corner terms; columns subtract only
+  in-range row taps, so nothing double-counts).
+
+Verified to 1e-15 (f64 numpy) and 1e-5 (f32 XLA) against
+``resize(scale=4, bilinear)`` + ``lax.conv`` in tests/test_ops_fused_upconv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_R = 4  # upsample factor; the derivation holds for any integer factor,
+# but only 4x has a favorable tap count (4x: 100/144 taps; 2x: 36/36)
+
+
+@functools.lru_cache(maxsize=1)
+def _tap_matrix() -> np.ndarray:
+    """[10, 3] matrix M with M[j, k] = phi((6 - j) + k - 1).
+
+    Maps the 3-tap conv kernel to the 10-tap composite kernel, already
+    index-reversed for XLA's correlation convention.
+    """
+
+    def phi(v: float) -> float:
+        return max(0.0, 1.0 - abs((v + 0.5) / _R - 0.5))
+
+    m = np.zeros((10, 3), np.float32)
+    for j in range(10):
+        u = 6 - j
+        for k in range(3):
+            m[j, k] = phi(u + k - 1)
+    return m
+
+
+def _up1d(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """4x half-pixel linear upsample along ``axis`` (edge-clamped)."""
+    shape = list(x.shape)
+    shape[axis] = shape[axis] * _R
+    return jax.image.resize(x, tuple(shape), method="bilinear", antialias=False)
+
+
+def _conv1d(x: jnp.ndarray, k: jnp.ndarray, padding) -> jnp.ndarray:
+    """1-D NLC conv via a height-1 NHWC conv. k: [taps, Cin, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x[:, None],
+        k[None],
+        (1, 1),
+        ((0, 0), padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y[:, 0]
+
+
+def up4_conv3x3(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """``conv3x3_SAME(bilinear_up4(x), kernel) + bias``, exactly, fused.
+
+    Args:
+        x: [B, H, W, Cin] source-resolution input.
+        kernel: [3, 3, Cin, Cout] conv weights (HWIO).
+        bias: optional [Cout].
+
+    Returns:
+        [B, 4H, 4W, Cout], bit-comparable (up to f32 reassociation) with
+        the unfused resize-then-conv composition.
+    """
+    taps = jnp.asarray(_tap_matrix(), dtype=kernel.dtype)
+    w10 = jnp.einsum("jh,lw,hwio->jlio", taps, taps, kernel)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp,
+        w10.astype(x.dtype),
+        (1, 1),
+        ((2, 2), (2, 2)),
+        lhs_dilation=(_R, _R),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    # Border corrections (see module docstring). All operands are 1-D
+    # strips; cost is negligible next to the main conv.
+    kd = kernel.astype(x.dtype)
+    top, bot = _up1d(x[:, 0], 1), _up1d(x[:, -1], 1)  # [B, 4W, C]
+    left, right = _up1d(x[:, :, 0], 1), _up1d(x[:, :, -1], 1)  # [B, 4H, C]
+    corner = lambda r, c: x[:, r, c][:, None]  # [B, 1, C]
+    top_ext = jnp.concatenate([corner(0, 0), top, corner(0, -1)], axis=1)
+    bot_ext = jnp.concatenate([corner(-1, 0), bot, corner(-1, -1)], axis=1)
+    # rows: phantom kh with every kw (VALID over the corner-extended strip)
+    row_top = _conv1d(top_ext, kd[0], (0, 0))
+    row_bot = _conv1d(bot_ext, kd[2], (0, 0))
+    # cols: phantom kw with in-range kh only (SAME/zero over the strip)
+    col_l = _conv1d(left, kd[:, 0], (1, 1))
+    col_r = _conv1d(right, kd[:, 2], (1, 1))
+    y = y.at[:, 0].add(-row_top)
+    y = y.at[:, -1].add(-row_bot)
+    y = y.at[:, :, 0].add(-col_l)
+    y = y.at[:, :, -1].add(-col_r)
+
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
