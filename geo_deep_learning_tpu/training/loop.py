@@ -441,6 +441,16 @@ class Trainer:
         if task_labels is not None and task.class_labels:
             per_class = M.classwise(iou, list(task.class_labels), f"{prefix}_iou")
             result.update({k: float(v) for k, v in per_class.items()})
+        if prefix == "test":
+            # full test report: overall accuracy + per-class F1 from the
+            # same dataset-level confusion matrix (reference logs only
+            # IoU; these were computed here but previously unlogged)
+            result[f"{prefix}_accuracy"] = float(M.accuracy_from_confusion(cm))
+            f1 = M.f1_from_confusion(cm)
+            result[f"{prefix}_mf1"] = float(jnp.nanmean(f1))
+            if task_labels is not None and task.class_labels:
+                per_f1 = M.classwise(f1, list(task.class_labels), f"{prefix}_f1")
+                result.update({k: float(v) for k, v in per_f1.items()})
         return result, sample
 
     # ------------------------------------------------------------------

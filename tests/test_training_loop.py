@@ -97,6 +97,8 @@ def test_fit_unetpp_end_to_end(datamodule, tmp_path):
     assert np.isfinite(history["val_loss"])
     assert "test_miou" in history
     assert "test_iou_building" in history
+    assert "test_accuracy" in history and 0.0 <= history["test_accuracy"] <= 1.0
+    assert "test_f1_building" in history
     assert trainer.ckpt.best_path is not None and trainer.ckpt.best_path.exists()
 
 
