@@ -39,8 +39,17 @@ def _smooth(field: np.ndarray, k: int) -> np.ndarray:
     return field
 
 
-def make_patch(rng: np.random.Generator, size: int) -> tuple[np.ndarray, np.ndarray]:
-    """One (image uint8 HWC, mask uint8 HW) pair."""
+def make_patch(
+    rng: np.random.Generator, size: int, classes: str = "binary"
+) -> tuple[np.ndarray, np.ndarray]:
+    """One (image uint8 HWC, mask uint8 HW) pair.
+
+    ``classes="binary"``: building footprints only (quickstart workflow).
+    ``classes="five"``: the reference SegFormer/DOFA recipes' 5-class
+    scheme (configs/segformer_config_RGB.yaml class_labels) — 0
+    background, 1 fore(st)/vegetation, 2 hydro, 3 roads, 4 buildings.
+    """
+    five = classes == "five"
     # ground: low-frequency green/brown texture
     base = _smooth(rng.normal(size=(size, size)), 31)
     base = (base - base.min()) / (np.ptp(base) + 1e-9)
@@ -52,6 +61,28 @@ def make_patch(rng: np.random.Generator, size: int) -> tuple[np.ndarray, np.ndar
         ],
         axis=-1,
     )
+    mask = np.zeros((size, size), np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    if five:
+        # forest/vegetation: dark-green high-texture zones where a second
+        # smoothed field is high
+        veg = _smooth(rng.normal(size=(size, size)), 47)
+        veg = (veg - veg.min()) / (np.ptp(veg) + 1e-9)
+        vmask = veg > 0.62
+        img[vmask] = (
+            np.stack([40 + 20 * base[vmask], 95 + 35 * base[vmask], 45 + 15 * base[vmask]], -1)
+            + rng.normal(0, 7, (int(vmask.sum()), 3))
+        )
+        mask[vmask] = 1
+        # hydro: 1-2 elliptical dark-blue water bodies
+        for _ in range(rng.integers(1, 3)):
+            cy, cx = rng.integers(40, size - 40, 2)
+            ry, rx = rng.integers(25, 90, 2)
+            inside = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+            img[inside] = np.array([40, 60, 120]) + rng.normal(
+                0, 4, (int(inside.sum()), 3)
+            )
+            mask[inside] = 2
     # roads: a couple of grey strips
     for _ in range(rng.integers(1, 3)):
         pos = rng.integers(0, size)
@@ -59,11 +90,12 @@ def make_patch(rng: np.random.Generator, size: int) -> tuple[np.ndarray, np.ndar
         sl = slice(max(0, pos - width // 2), min(size, pos + width // 2))
         if rng.random() < 0.5:
             img[sl, :, :] = 120 + rng.normal(0, 4, img[sl, :, :].shape)
+            if five:
+                mask[sl, :] = 3
         else:
             img[:, sl, :] = 120 + rng.normal(0, 4, img[:, sl, :].shape)
-
-    mask = np.zeros((size, size), np.uint8)
-    yy, xx = np.mgrid[0:size, 0:size]
+            if five:
+                mask[:, sl] = 3
     for _ in range(rng.integers(4, 14)):
         cy, cx = rng.integers(20, size - 20, 2)
         h, w = rng.integers(14, 70, 2)
@@ -80,7 +112,7 @@ def make_patch(rng: np.random.Generator, size: int) -> tuple[np.ndarray, np.ndar
             (np.abs(u) < h / 2 + 4) & (np.abs(v) < w / 2 + 4) & ~inside
         )
         img[shadow] = img[shadow] * 0.55
-        mask[inside] = 1
+        mask[inside] = 4 if five else 1
     img = np.clip(img, 0, 255).astype(np.uint8)
     return img, mask
 
@@ -95,6 +127,7 @@ def main() -> None:
     p.add_argument("--test", type=int, default=150)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--classes", choices=["binary", "five"], default="binary")
     args = p.parse_args()
 
     root = Path(args.root)
@@ -104,7 +137,7 @@ def main() -> None:
         (root / split / "label").mkdir(parents=True, exist_ok=True)
         rows = []
         for i in range(n):
-            img, mask = make_patch(rng, args.size)
+            img, mask = make_patch(rng, args.size, args.classes)
             write_geotiff(root / split / "image" / f"{i}.tif", img)
             write_geotiff(root / split / "label" / f"{i}_lbl.tif", mask)
             rows.append(f"{split}/image/{i}.tif;{split}/label/{i}_lbl.tif")
