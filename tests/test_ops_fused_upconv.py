@@ -17,15 +17,18 @@ def _baseline(x, kernel, bias=None):
     return y if bias is None else y + bias
 
 
+@pytest.mark.parametrize("grouped", [True, False])
 @pytest.mark.parametrize("hw", [(5, 5), (9, 7), (36, 36)])
-def test_matches_resize_then_conv(hw):
+def test_matches_resize_then_conv(hw, grouped):
     h, w = hw
     kx, kk, kb = jax.random.split(jax.random.PRNGKey(0), 3)
     x = jax.random.normal(kx, (2, h, w, 6), jnp.float32)
     kernel = jax.random.normal(kk, (3, 3, 6, 4), jnp.float32)
     bias = jax.random.normal(kb, (4,), jnp.float32)
     ref = np.asarray(jax.jit(_baseline)(x, kernel, bias))
-    got = np.asarray(jax.jit(up4_conv3x3)(x, kernel, bias))
+    got = np.asarray(
+        jax.jit(lambda *a: up4_conv3x3(*a, grouped=grouped))(x, kernel, bias)
+    )
     assert got.shape == (2, 4 * h, 4 * w, 4)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
