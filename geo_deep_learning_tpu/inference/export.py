@@ -19,6 +19,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bake_dofa_embedding(
+    variables: dict,
+    wavelengths: Sequence[float],
+    in_channels: int,
+    variant: str = "dofa_base",
+    convert_to_16: bool = False,
+):
+    """Pre-compute DOFA's λ-generated patch-embed (kernel, bias) ONCE.
+
+    XLA does NOT constant-fold the wavelength weight generator even when
+    λ is a compile-time constant (measured: identical fusion counts with
+    λ closed over vs passed in), so static-λ serving pays the 128-token
+    generator transformer every call unless its output is baked here and
+    threaded through ``baked_embed`` (ROADMAP #9).
+    """
+    from geo_deep_learning_tpu.models.encoders.dofa import (
+        DOFAv2Embedding,
+        dofa_configs,
+    )
+
+    cfg = dofa_configs[variant]
+    embed = DOFAv2Embedding(
+        embed_dim=cfg.embed_dim,
+        kernel_size=cfg.patch_size,
+        convert_to_16=convert_to_16,
+    )
+    params = variables["params"]["encoder"]["patch_embed"]
+    wv = jnp.asarray(wavelengths, jnp.float32)
+    kernel, bias = embed.apply(
+        {"params": params}, in_channels, wv, method=DOFAv2Embedding.generate
+    )
+    return jax.device_get(kernel), jax.device_get(bias)
+
+
 def make_serving_fn(
     model_apply,
     variables: dict,
@@ -27,20 +61,30 @@ def make_serving_fn(
     num_classes: int,
     scale_max: float = 255.0,
     wavelengths: Sequence[float] | None = None,
+    baked_embed: tuple | None = None,
 ):
     """Raw image batch [B, H, W, C] (0..255 floats) → class probabilities.
 
     Mirrors ScriptModel.forward (script_model.py:43-59): normalize →
     standardize → model → softmax (multiclass) / sigmoid (binary).
+
+    ``baked_embed``: pre-baked DOFA patch-embed weights from
+    :func:`bake_dofa_embedding` — the exported graph then carries the
+    generated conv kernel as a literal constant instead of re-running the
+    weight-generator transformer per inference call.
     """
     mean_arr = jnp.asarray(mean, jnp.float32)
     std_arr = jnp.asarray(std, jnp.float32)
     wv = jnp.asarray(wavelengths, jnp.float32) if wavelengths is not None else None
+    if baked_embed is not None:
+        baked_embed = tuple(jnp.asarray(b) for b in baked_embed)
 
     def serve(image: jnp.ndarray) -> jnp.ndarray:
         x = image.astype(jnp.float32) / scale_max
         x = (x - mean_arr) / std_arr
-        if wv is not None:
+        if baked_embed is not None:
+            out = model_apply(variables, x, train=False, baked_embed=baked_embed)
+        elif wv is not None:
             out = model_apply(variables, x, wv, train=False)
         else:
             out = model_apply(variables, x, train=False)

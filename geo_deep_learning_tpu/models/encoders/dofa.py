@@ -15,9 +15,11 @@ d1024/24L/taps[5,9,15,21] (ref :504-567).
 TPU notes:
 - The weight generator depends only on λ (batch-constant, checked by the
   reference at :437-442). Its cost is negligible (a 128-token transformer)
-  but under jit it still executes per step; for static-λ deployments use
-  ``DOFAv2Embedding`` with ``precomputed=True`` kernels via the exported
-  inference path.
+  but under jit it still executes per step — XLA does NOT constant-fold
+  it even with λ closed over as a constant. For static-λ deployments,
+  pre-bake the generated (kernel, bias) once via
+  ``inference.export.bake_dofa_embedding`` and pass ``baked_embed=`` —
+  the generator is then skipped entirely.
 - Feature taps return NHWC maps directly; the reference's per-tap
   [B,L,D]→[B,D,√L,√L] permutes vanish in channel-last layout.
 - Matching the reference quirk: taps are NOT LayerNormed (the reference's
@@ -160,7 +162,14 @@ class TransformerWeightGenerator(nn.Module):
 class DOFAv2Embedding(nn.Module):
     """Wavelength-conditioned dynamic patch embedding (reference :109-181).
 
-    Returns the NHWC token grid [B, H', W', D]."""
+    Returns the NHWC token grid [B, H', W', D].
+
+    ``generate`` exposes the λ→(kernel, bias) path on its own so static-λ
+    deployments can PRE-BAKE the conv weights once (XLA does NOT
+    constant-fold the generator even with constant λ — measured: the
+    static-λ compile keeps all 554 fusions). ``__call__`` accepts the
+    baked pair via ``baked=`` and skips the generator entirely.
+    """
 
     embed_dim: int = 768
     kernel_size: int = 14
@@ -170,36 +179,49 @@ class DOFAv2Embedding(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, wavelengths: jnp.ndarray) -> jnp.ndarray:
-        in_channels = x.shape[-1]
-        k = self.kernel_size
-        waves = sincos_1d(self.dynamic_embed_dim, wavelengths * 1000.0)
-        waves = waves.astype(self.dtype)
-        waves = FCResLayer(
-            self.dynamic_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="fclayer",
-        )(waves)
-        weight, bias = TransformerWeightGenerator(
-            output_dim=k * k * self.embed_dim,
+    def setup(self):
+        self.fclayer = FCResLayer(
+            self.dynamic_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        self.weight_generator = TransformerWeightGenerator(
+            output_dim=self.kernel_size * self.kernel_size * self.embed_dim,
             embed_dim=self.embed_dim,
             input_dim=self.dynamic_embed_dim,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            name="weight_generator",
-        )(waves)
+        )
+
+    def generate(
+        self, in_channels: int, wavelengths: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """λ → (HWIO conv kernel, bias), incl. scaling and 14→16 resize."""
+        k = self.kernel_size
+        waves = sincos_1d(self.dynamic_embed_dim, wavelengths * 1000.0)
+        waves = self.fclayer(waves.astype(self.dtype))
+        weight, bias = self.weight_generator(waves)
         # [C, k, k, D] → HWIO [k, k, C, D] for lax conv
         kernel = weight.reshape(in_channels, k, k, self.embed_dim)
         kernel = kernel.transpose(1, 2, 0, 3) * self.scaler
         bias = bias * self.scaler
-        stride = k
         if self.convert_to_16:
             # bicubic kernel resize 14→16 (reference :167-177)
             kernel = jax.image.resize(
                 kernel, (16, 16, in_channels, self.embed_dim), method="cubic",
                 antialias=False,
             )
-            stride = 16
+        return kernel, bias
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        wavelengths: jnp.ndarray | None = None,
+        baked: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    ) -> jnp.ndarray:
+        if baked is not None:
+            kernel, bias = baked
+        else:
+            kernel, bias = self.generate(x.shape[-1], wavelengths)
+        stride = 16 if self.convert_to_16 else self.kernel_size
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -344,12 +366,13 @@ class DOFAv2(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        wavelengths: jnp.ndarray,
+        wavelengths: jnp.ndarray | None = None,
         train: bool = False,
+        baked_embed: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ) -> list[jnp.ndarray]:
         cfg = dofa_configs[self.variant]
         taps = tuple(self.out_indices) if self.out_indices else cfg.out_indices
-        if wavelengths.ndim == 2:
+        if wavelengths is not None and wavelengths.ndim == 2:
             # reference asserts batch-constant wavelengths (:437-442); under
             # jit we take row 0 — the data pipeline guarantees constancy.
             wavelengths = wavelengths[0]
@@ -360,7 +383,7 @@ class DOFAv2(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="patch_embed",
-        )(x, wavelengths)
+        )(x, wavelengths, baked=baked_embed)
         b, gh, gw, d = tokens.shape
         pos = jnp.asarray(sincos_2d(d, gh, gw), dtype=self.dtype)
         seq = tokens.reshape(b, gh * gw, d) + pos[None]

@@ -35,8 +35,9 @@ class DOFASegmentation(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        wavelengths: jnp.ndarray,
+        wavelengths: jnp.ndarray | None = None,
         train: bool = False,
+        baked_embed: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ) -> SegmentationOutput:
         in_hw = x.shape[1:3]
         encoder = DOFAv2(
@@ -46,7 +47,7 @@ class DOFASegmentation(nn.Module):
             param_dtype=self.param_dtype,
             name="encoder",
         )
-        taps = encoder(x, wavelengths, train=train)
+        taps = encoder(x, wavelengths, train=train, baked_embed=baked_embed)
         d = encoder.embed_dim
         feats = MultiLevelNeck(
             out_channels=[d] * 4,

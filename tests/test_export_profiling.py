@@ -93,3 +93,43 @@ def test_export_dofa_with_wavelengths(tmp_path):
     out = np.asarray(load_exported(path)(x_raw))
     np.testing.assert_allclose(out, direct, atol=1e-5)
     np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-4)
+
+
+def test_baked_embedding_skips_generator():
+    """ROADMAP #9: XLA does NOT constant-fold the λ weight generator even
+    with λ closed over as a constant (measured: identical fusion counts),
+    so static-λ serving pre-bakes the generated conv weights via
+    ``bake_dofa_embedding``. The baked graph must (a) produce identical
+    outputs and (b) compile to strictly fewer ops."""
+    import jax
+    import jax.numpy as jnp
+
+    from geo_deep_learning_tpu.inference.export import bake_dofa_embedding
+    from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation
+
+    model = DOFASegmentation(encoder_name="dofa_base", num_classes=2)
+    wv = jnp.asarray([0.665, 0.549, 0.481], jnp.float32)
+    x = np.random.default_rng(0).normal(size=(1, 56, 56, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), wv, train=False)
+
+    baked = bake_dofa_embedding(variables, [0.665, 0.549, 0.481], in_channels=3)
+    assert baked[0].shape == (14, 14, 3, 768)
+
+    def serve_static(image):
+        return model.apply(variables, image, wv, train=False).out
+
+    def serve_baked(image):
+        return model.apply(
+            variables, image, train=False,
+            baked_embed=tuple(jnp.asarray(b) for b in baked),
+        ).out
+
+    ref = np.asarray(serve_static(jnp.asarray(x)))
+    got = np.asarray(serve_baked(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def n_ops(fn, *a) -> int:
+        txt = jax.jit(fn).lower(*a).compile().as_text()
+        return txt.count("fusion(") + txt.count("custom-call")
+
+    assert n_ops(serve_baked, jnp.asarray(x)) < n_ops(serve_static, jnp.asarray(x))
