@@ -163,6 +163,16 @@ def test_cli_fit_and_test(mini_dataset, tmp_path):
     )
     assert "test_miou" in result2
 
+    # validate + predict subcommands on the same checkpoint
+    result3 = main(
+        ["validate", "--config", str(cfg_path), "--ckpt-path", str(ckpts[0])]
+    )
+    assert np.isfinite(result3["val_loss"])
+    result4 = main(
+        ["predict", "--config", str(cfg_path), "--ckpt-path", str(ckpts[0])]
+    )
+    assert result4["num_batches"] >= 1
+
 
 def test_cli_shipped_configs_parse():
     """The three shipped recipes must at least instantiate their model."""
