@@ -40,7 +40,7 @@ def _smooth(field: np.ndarray, k: int) -> np.ndarray:
 
 
 def make_patch(
-    rng: np.random.Generator, size: int, classes: str = "binary"
+    rng: np.random.Generator, size: int, classes: str = "binary", bands: int = 3
 ) -> tuple[np.ndarray, np.ndarray]:
     """One (image uint8 HWC, mask uint8 HW) pair.
 
@@ -48,6 +48,9 @@ def make_patch(
     ``classes="five"``: the reference SegFormer/DOFA recipes' 5-class
     scheme (configs/segformer_config_RGB.yaml class_labels) — 0
     background, 1 fore(st)/vegetation, 2 hydro, 3 roads, 4 buildings.
+    ``bands=4`` appends a NIR band (bright over vegetation, dark over
+    water/roads/roofs — the usual spectral signature) for multi-sensor
+    demos mixing RGB and RGBN sensors.
     """
     five = classes == "five"
     # ground: low-frequency green/brown texture
@@ -113,6 +116,18 @@ def make_patch(
         )
         img[shadow] = img[shadow] * 0.55
         mask[inside] = 4 if five else 1
+    if bands == 4:
+        # NIR: follows vegetation reflectance — bright on vegetation
+        # (incl. the base texture), dark on water/roads/buildings
+        nir = 120 + 100 * base + rng.normal(0, 8, (size, size))
+        nir[mask == 2] = 20 + rng.normal(0, 4, (int((mask == 2).sum()),))
+        nir[mask == 3] = 70 + rng.normal(0, 5, (int((mask == 3).sum()),))
+        nir[mask == (4 if five else 1)] = 90 + rng.normal(
+            0, 8, (int((mask == (4 if five else 1)).sum()),)
+        )
+        if five:
+            nir[mask == 1] = 200 + rng.normal(0, 10, (int((mask == 1).sum()),))
+        img = np.concatenate([img, nir[:, :, None]], axis=-1)
     img = np.clip(img, 0, 255).astype(np.uint8)
     return img, mask
 
@@ -128,6 +143,7 @@ def main() -> None:
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--classes", choices=["binary", "five"], default="binary")
+    p.add_argument("--bands", type=int, choices=[3, 4], default=3)
     args = p.parse_args()
 
     root = Path(args.root)
@@ -137,7 +153,7 @@ def main() -> None:
         (root / split / "label").mkdir(parents=True, exist_ok=True)
         rows = []
         for i in range(n):
-            img, mask = make_patch(rng, args.size, args.classes)
+            img, mask = make_patch(rng, args.size, args.classes, args.bands)
             write_geotiff(root / split / "image" / f"{i}.tif", img)
             write_geotiff(root / split / "label" / f"{i}_lbl.tif", mask)
             rows.append(f"{split}/image/{i}.tif;{split}/label/{i}_lbl.tif")
