@@ -19,6 +19,8 @@ import argparse
 import logging
 import sys
 from pathlib import Path
+
+import numpy as np
 from typing import Any
 
 from geo_deep_learning_tpu.cli.config import instantiate, load_config
@@ -151,8 +153,31 @@ def run_eval_from_ckpt(trainer, spec, datamodule, ckpt_path, mode: str):
             spec.task, eval_step, loader, prefix=prefix, task_labels=spec.task
         )
         return metrics
-    preds = list(trainer.predict(spec.task, loader))
-    return {"num_batches": len(preds)}
+    # predict: write one class-index raster per input patch (uint8 GeoTIFF)
+    # under <root>/predictions/ — the reference's Lightning predict returns
+    # tensors but persists nothing; a serving user needs files.
+    from geo_deep_learning_tpu.data.geotiff import write_geotiff
+
+    out_dir = Path(trainer.config.checkpoint_dir).parent / "predictions"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n_batches = 0
+    n_written = 0
+    for out in trainer.predict(spec.task, loader):
+        n_batches += 1
+        preds = out["preds"]
+        names = out["batch"].get(
+            "image_name", [f"batch{n_batches}_{i}" for i in range(len(preds))]
+        )
+        valid = int(out["batch"].get("valid_count", len(preds)))
+        for i in range(valid):
+            stem = Path(str(names[i])).stem or f"batch{n_batches}_{i}"
+            write_geotiff(
+                out_dir / f"{stem}_pred.tif", preds[i].astype(np.uint8)
+            )
+            n_written += 1
+    logger.info("wrote %d prediction rasters to %s", n_written, out_dir)
+    return {"num_batches": n_batches, "num_predictions": n_written,
+            "output_dir": str(out_dir)}
 
 
 if __name__ == "__main__":

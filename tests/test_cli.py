@@ -1,5 +1,7 @@
 """CLI + config system tests: interpolation, aliases, full fit via main()."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -172,6 +174,13 @@ def test_cli_fit_and_test(mini_dataset, tmp_path):
         ["predict", "--config", str(cfg_path), "--ckpt-path", str(ckpts[0])]
     )
     assert result4["num_batches"] >= 1
+    assert result4["num_predictions"] >= 1
+    pred_files = list(Path(result4["output_dir"]).glob("*_pred.tif"))
+    assert len(pred_files) == result4["num_predictions"]
+    from geo_deep_learning_tpu.data.geotiff import read_geotiff
+
+    arr, _ = read_geotiff(str(pred_files[0]))
+    assert arr.squeeze().ndim == 2  # class-index raster
 
 
 def test_cli_shipped_configs_parse():
