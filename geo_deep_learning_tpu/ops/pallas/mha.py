@@ -32,6 +32,9 @@ _TQ = 256   # query rows per fwd grid step (also the pad granularity).
             # overlap outweighs the extra padding (1536 vs 1408).
 _TQB = 256  # query rows per bwd inner tile (keeps bwd under the VMEM cap)
 _NEG = -1e30
+_INTERPRET = False  # set True (tests) to run the kernels in pallas
+                    # interpreter mode on CPU — validates kernel logic
+                    # without TPU hardware
 
 # MXU inputs stay bf16 with f32 accumulation (preferred_element_type) —
 # same contraction numerics as the XLA einsum path, and 2x the MXU rate
@@ -136,6 +139,7 @@ def _fwd(q, k, v, scale, valid):
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, valid=valid),
         grid=grid,
+        interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
@@ -174,6 +178,7 @@ def _bwd_pallas(q, k, v, o, g, lse, scale, valid):
             _bwd_kernel, scale=scale, valid=valid, n_q=lq // _TQB
         ),
         grid=(b, h),
+        interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
