@@ -122,6 +122,30 @@ def _scan_tiles(
     return acc / jnp.maximum(wsum, 1e-8)
 
 
+@partial(jax.jit, static_argnames=("forward", "tile", "batch_size", "num_classes"))
+def _scan_tiles_with_params(
+    forward: Callable,
+    params,
+    scene: jnp.ndarray,
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    window: jnp.ndarray,
+    tile: int,
+    batch_size: int,
+    num_classes: int,
+):
+    """Params-threading variant: ``params`` is a traced pytree ARGUMENT,
+    not a closure constant. Closing model weights over ``forward`` inlines
+    them as HLO literals — at DOFA-base size (~440 MB f32) that overflows
+    compile-RPC limits and bloats every compile; passing them here keeps
+    the program small and the weights in HBM."""
+    acc, wsum = _accumulate_tiles(
+        lambda tiles: forward(params, tiles),
+        scene, coords, valid, window, tile, batch_size, num_classes,
+    )
+    return acc / jnp.maximum(wsum, 1e-8)
+
+
 def _plan_tiles(scene, cfg: SlidingWindowConfig, multiple: int):
     """Pad the scene to ≥1 tile, build the tile-origin list padded to a
     multiple of ``multiple`` with a validity mask."""
@@ -148,21 +172,26 @@ def _plan_tiles(scene, cfg: SlidingWindowConfig, multiple: int):
 
 
 def sliding_window_logits(
-    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    forward: Callable,
     scene: np.ndarray | jnp.ndarray,
     num_classes: int,
     config: SlidingWindowConfig | None = None,
+    params=None,
 ) -> jnp.ndarray:
     """Blend model logits over a full scene.
 
     ``forward`` maps a tile batch [B, t, t, C] → logits [B, t, t, K]
     (normalization should be folded inside). ``scene`` is HWC. Returns
     blended logits [H, W, K].
+
+    For real model weights, pass them via ``params`` and make ``forward``
+    take ``(params, tiles)`` — weights closed over ``forward`` are inlined
+    into the compiled program as constants (440 MB of HLO literals for
+    DOFA-base, enough to overflow compile-service request limits).
     """
     cfg = config or SlidingWindowConfig()
     scene, coords, valid, window, h, w = _plan_tiles(scene, cfg, cfg.batch_size)
-    out = _scan_tiles(
-        forward,
+    args = (
         jnp.asarray(scene),
         jnp.asarray(coords),
         jnp.asarray(valid),
@@ -171,6 +200,10 @@ def sliding_window_logits(
         cfg.batch_size,
         num_classes,
     )
+    if params is None:
+        out = _scan_tiles(forward, *args)
+    else:
+        out = _scan_tiles_with_params(forward, params, *args)
     return out[:h, :w]
 
 

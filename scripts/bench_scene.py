@@ -32,14 +32,17 @@ def build_forward(name: str):
     num_classes = 5
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, TILE, TILE, 3), dtype)
+    # weights thread through sliding_window_logits(params=...) as a traced
+    # argument — closing them over fwd would inline them as HLO constants
+    # (440 MB for DOFA-base: overflows the compile service's request limit)
     if name == "segformer_b0":
         from geo_deep_learning_tpu.models.segmentation.segformer import SegFormer
 
         model = SegFormer(encoder_name="mit_b0", num_classes=num_classes, dtype=dtype)
         variables = model.init(rng, x0, train=False)
 
-        def fwd(tiles):
-            return model.apply(variables, tiles, train=False).out
+        def fwd(params, tiles):
+            return model.apply(params, tiles, train=False).out
 
     elif name == "unetpp_r34":
         from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
@@ -49,8 +52,8 @@ def build_forward(name: str):
         )
         variables = model.init(rng, x0, train=False)
 
-        def fwd(tiles):
-            return model.apply(variables, tiles, train=False).out
+        def fwd(params, tiles):
+            return model.apply(params, tiles, train=False).out
 
     elif name == "dofa_base":
         from geo_deep_learning_tpu.inference.export import bake_dofa_embedding
@@ -65,16 +68,18 @@ def build_forward(name: str):
             jnp.asarray(b)
             for b in bake_dofa_embedding(variables, [0.665, 0.549, 0.481], 3)
         )
+        variables = {**variables, "baked": baked}
 
-        def fwd(tiles):
+        def fwd(params, tiles):
             return model.apply(
-                variables, tiles, train=False, baked_embed=baked
+                {k: v for k, v in params.items() if k != "baked"},
+                tiles, train=False, baked_embed=params["baked"],
             ).out
 
     else:
         msg = f"unknown model {name}"
         raise ValueError(msg)
-    return fwd, num_classes
+    return fwd, jax.device_put(variables), num_classes
 
 
 def measure(name: str, reps: int = 3) -> dict:
@@ -83,12 +88,12 @@ def measure(name: str, reps: int = 3) -> dict:
         sliding_window_logits,
     )
 
-    fwd, num_classes = build_forward(name)
+    fwd, variables, num_classes = build_forward(name)
     cfg = SlidingWindowConfig(tile_size=TILE, overlap=128, batch_size=5)
     scene = np.random.default_rng(0).uniform(-1, 1, (SCENE, SCENE, 3)).astype(
         np.float32
     )
-    run = lambda: sliding_window_logits(fwd, scene, num_classes, cfg)
+    run = lambda: sliding_window_logits(fwd, scene, num_classes, cfg, params=variables)
     out = run()
     float(jnp.asarray(out)[0, 0, 0])  # compile + sync
     n_tiles = 25

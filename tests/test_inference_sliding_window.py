@@ -117,3 +117,28 @@ def test_sharded_matches_single_device():
     mesh = create_mesh(MeshConfig())
     sharded = sliding_window_logits_sharded(forward, scene, 2, mesh, cfg)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-4)
+
+
+def test_params_threading_matches_closure():
+    """params= variant must equal the closure variant (and keeps weights
+    out of the compiled program as constants)."""
+    import jax
+
+    from geo_deep_learning_tpu.inference.sliding_window import (
+        SlidingWindowConfig,
+        sliding_window_logits,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 4), jnp.float32)
+
+    def fwd_closure(tiles):
+        return jnp.einsum("bhwc,ck->bhwk", tiles, w)
+
+    def fwd_params(params, tiles):
+        return jnp.einsum("bhwc,ck->bhwk", tiles, params["w"])
+
+    scene = np.random.default_rng(0).normal(size=(70, 90, 3)).astype(np.float32)
+    cfg = SlidingWindowConfig(tile_size=32, overlap=8, batch_size=2)
+    a = sliding_window_logits(fwd_closure, scene, 4, cfg)
+    b = sliding_window_logits(fwd_params, scene, 4, cfg, params={"w": w})
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
