@@ -57,17 +57,21 @@ class StreamBatcher:
 
     def __init__(
         self,
-        make_stream,  # (epoch) -> Iterator[sample]
+        make_stream,  # (epoch) -> sample stream OR list of per-sensor streams
         batch_size: int,
         drop_partial: bool,
         epoch_size: int | None = None,
         prefetch: int = 2,
+        mix_seed: int = 0,
+        mix_probs: list[float] | None = None,
     ) -> None:
         self.make_stream = make_stream
         self.batch_size = batch_size
         self.drop_partial = drop_partial
         self.epoch_size = epoch_size
         self.prefetch = prefetch
+        self.mix_seed = mix_seed
+        self.mix_probs = mix_probs
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -78,7 +82,7 @@ class StreamBatcher:
             return self.epoch_size // self.batch_size
         return -(-self.epoch_size // self.batch_size)
 
-    def _batches(self, stream) -> Iterator[dict]:
+    def _batches(self, stream, cap_samples: bool = True) -> Iterator[dict]:
         buf: list[dict] = []
         count = 0
         for sample in stream:
@@ -89,7 +93,11 @@ class StreamBatcher:
                 batch["valid_count"] = np.int32(self.batch_size)
                 yield batch
                 buf = []
-            if self.epoch_size is not None and count >= self.epoch_size:
+            if (
+                cap_samples
+                and self.epoch_size is not None
+                and count >= self.epoch_size
+            ):
                 break
         if buf and not self.drop_partial:
             valid = len(buf)
@@ -99,15 +107,40 @@ class StreamBatcher:
             batch["valid_count"] = np.int32(valid)
             yield batch
 
+    def _mixed_batches(self, streams: list) -> Iterator[dict]:
+        """Batch each sensor's stream SEPARATELY, then mix whole batches —
+        the reference's semantics (each sensor pipeline ``.batched(bs)``
+        before ``wds.RandomMix``, wds_datamodule.py:179-190). Sample-level
+        mixing would collate different sensors' channel counts into one
+        batch, which is ill-formed for heterogeneous sensors (e.g. RGB +
+        RGBN); batch-level mixing keeps every batch single-sensor."""
+        import itertools
+
+        gens = [self._batches(s, cap_samples=False) for s in streams]
+        mixed = random_mix(
+            gens, seed=self.mix_seed + self.epoch, probs=self.mix_probs
+        )
+        if self.epoch_size is not None and self.drop_partial:
+            mixed = itertools.islice(mixed, len(self))
+        return mixed
+
     def __iter__(self) -> Iterator[dict]:
         stream = self.make_stream(self.epoch)
         self.epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        batches = (
+            self._mixed_batches(stream)
+            if isinstance(stream, (list, tuple)) and len(stream) > 1
+            else self._batches(
+                stream[0] if isinstance(stream, (list, tuple)) else stream
+            )
+        )
+
         def produce():
             try:
-                for b in self._batches(stream):
+                for b in batches:
                     if stop.is_set():
                         return
                     q.put(b)
@@ -198,13 +231,11 @@ class MultiSensorDataModule:
             logger.warning("No %s datasets found!", split)
             return None
 
-        def make_stream(epoch: int) -> Iterator[dict[str, Any]]:
-            streams = [
-                ds.iter_samples(epoch=epoch) for ds in sensors
-            ]
-            if len(streams) == 1:
-                return streams[0]
-            return random_mix(streams, seed=self.seed + epoch, probs=self.mix_probs)
+        def make_stream(epoch: int) -> list[Iterator[dict[str, Any]]]:
+            # per-sensor streams; StreamBatcher batches each sensor
+            # separately and mixes whole batches (reference RandomMix
+            # semantics — heterogeneous channel counts stay per-batch)
+            return [ds.iter_samples(epoch=epoch) for ds in sensors]
 
         total = sum(ds.patch_count for ds in sensors)
         epoch_size = self.epoch_size if split == "trn" else total
@@ -213,6 +244,8 @@ class MultiSensorDataModule:
             batch_size=self.batch_size,
             drop_partial=drop_partial,
             epoch_size=epoch_size,
+            mix_seed=self.seed,
+            mix_probs=self.mix_probs,
         )
 
     def train_dataloader(self) -> StreamBatcher:

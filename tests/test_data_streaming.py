@@ -264,3 +264,69 @@ def test_round_robin_distributed_slices():
 def test_factory():
     s = create_round_robin_sampler({"a": 8}, batch_size=4)
     assert isinstance(s, RoundRobinSampler)
+
+
+def test_mixing_is_batch_level_for_heterogeneous_sensors(tmp_path):
+    """Sensors with DIFFERENT band counts (RGB + RGBN) must mix at BATCH
+    granularity — each batch single-sensor (reference semantics: per-
+    sensor ``.batched(bs)`` before RandomMix, wds_datamodule.py:179-190);
+    sample-level mixing would collate incompatible channel counts."""
+    import json as _json
+
+    import yaml as _yaml
+
+    root = tmp_path
+    config = {}
+    for sensor, bands, n in [("rgb_sensor", 3, 8), ("rgbn_sensor", 4, 8)]:
+        sdir = root / sensor
+        manifest = {"shards": {}, "statistics": {"patch_counts": {}}}
+        for split in ("trn", "val", "tst"):
+            (sdir / split).mkdir(parents=True)
+            _write_shard(
+                sdir / split / "shard-0000.tar",
+                [f"{sensor}_{split}_{i}" for i in range(n)],
+                bands=bands,
+            )
+            manifest["shards"][split] = [{"path": "shard-0000.tar"}]
+            manifest["statistics"]["patch_counts"][split] = n
+        (sdir / "manifest.json").write_text(_json.dumps(manifest))
+        stats = {
+            "statistics": {
+                sensor: {
+                    "mean": [100.0] * bands,
+                    "std": [50.0] * bands,
+                    "band_count": bands,
+                    "patch_count": n,
+                    "dtype": "uint8",
+                }
+            }
+        }
+        (sdir / "stats.json").write_text(_json.dumps(stats))
+        config[sensor] = {
+            "manifest_path": str(sdir / "manifest.json"),
+            "parent_dir": str(sdir),
+            "stats_path": str(sdir / "stats.json"),
+            "wavelength_keys": [
+                "red_wavelength", "green_wavelength", "blue_wavelength",
+                "nir_wavelength",
+            ][:bands],
+        }
+    cfg_path = root / "sensors.yaml"
+    cfg_path.write_text(_yaml.safe_dump(config))
+
+    dm = MultiSensorDataModule(
+        sensor_configs_path=str(cfg_path),
+        model_type="dofa",
+        batch_size=4,
+        epoch_size=16,
+        shuffle_buffer=8,
+    )
+    dm.setup()
+    seen_channels = set()
+    for b in dm.train_dataloader():
+        c = b["image"].shape[-1]
+        seen_channels.add(c)
+        # every batch is single-sensor: uniform platform + matching λ count
+        assert len(set(b["platform"])) == 1
+        assert b["wavelengths"].shape[-1] == c
+    assert seen_channels == {3, 4}  # both sensors drawn over the epoch
