@@ -208,11 +208,12 @@ def sliding_window_logits(
 
 
 def sliding_window_logits_sharded(
-    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    forward: Callable,
     scene: np.ndarray | jnp.ndarray,
     num_classes: int,
     mesh,
     config: SlidingWindowConfig | None = None,
+    params=None,
 ) -> jnp.ndarray:
     """Data-parallel scene inference over a device mesh.
 
@@ -221,15 +222,10 @@ def sliding_window_logits_sharded(
     mesh's data axis; each device accumulates a local weighted canvas from
     its tiles (the scene is replicated in HBM), and one ``psum`` over ICI
     merges the canvases before blending. The model forward — the
-    expensive part — runs fully parallel.
+    expensive part — runs fully parallel. Pass model weights via
+    ``params`` (forward then takes ``(params, tiles)``) to keep them out
+    of the compiled program — see :func:`sliding_window_logits`.
     """
-    from jax.sharding import PartitionSpec as P
-
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-
     from geo_deep_learning_tpu.core.mesh import DATA_AXIS
 
     cfg = config or SlidingWindowConfig()
@@ -243,31 +239,60 @@ def sliding_window_logits_sharded(
     coords = coords[order]
     valid = valid[order]
 
-    tile = cfg.tile_size
-
-    @partial(jax.jit, static_argnames=())
-    def run(scene_a, coords_a, valid_a, window_a):
-        def body(scene_l, coords_l, valid_l, window_l):
-            acc, wsum = _accumulate_tiles(
-                forward, scene_l, coords_l, valid_l, window_l,
-                tile, cfg.batch_size, num_classes,
-            )
-            acc = jax.lax.psum(acc, DATA_AXIS)
-            wsum = jax.lax.psum(wsum, DATA_AXIS)
-            return acc / jnp.maximum(wsum, 1e-8)
-
-        return shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
-            out_specs=P(),
-            check_vma=False,
-        )(scene_a, coords_a, valid_a, window_a)
-
-    out = run(
-        jnp.asarray(scene), jnp.asarray(coords), jnp.asarray(valid), window
+    out = _sharded_run(
+        forward,
+        {} if params is None else params,
+        jnp.asarray(scene),
+        jnp.asarray(coords),
+        jnp.asarray(valid),
+        window,
+        cfg.tile_size,
+        cfg.batch_size,
+        num_classes,
+        mesh,
+        params is not None,
     )
     return out[:h, :w]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "forward", "tile", "batch_size", "num_classes", "mesh", "use_params"
+    ),
+)
+def _sharded_run(
+    forward, params, scene, coords, valid, window,
+    tile, batch_size, num_classes, mesh, use_params,
+):
+    """Module-level jit (stable cache across calls) with the weights as a
+    traced, mesh-replicated argument — see ``_scan_tiles_with_params``."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from geo_deep_learning_tpu.core.mesh import DATA_AXIS
+
+    def body(params_l, scene_l, coords_l, valid_l, window_l):
+        fwd = (lambda t: forward(params_l, t)) if use_params else forward
+        acc, wsum = _accumulate_tiles(
+            fwd, scene_l, coords_l, valid_l, window_l,
+            tile, batch_size, num_classes,
+        )
+        acc = jax.lax.psum(acc, DATA_AXIS)
+        wsum = jax.lax.psum(wsum, DATA_AXIS)
+        return acc / jnp.maximum(wsum, 1e-8)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(params, scene, coords, valid, window)
 
 
 def predict_scene(

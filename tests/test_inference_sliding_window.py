@@ -142,3 +142,28 @@ def test_params_threading_matches_closure():
     a = sliding_window_logits(fwd_closure, scene, 4, cfg)
     b = sliding_window_logits(fwd_params, scene, 4, cfg, params={"w": w})
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sharded_params_threading_matches():
+    """Sharded variant with params= equals the closure form."""
+    import jax
+
+    from geo_deep_learning_tpu.core.mesh import MeshConfig, create_mesh
+    from geo_deep_learning_tpu.inference import sliding_window_logits_sharded
+
+    w = jax.random.normal(jax.random.PRNGKey(9), (3, 5), jnp.float32)
+
+    def fwd_closure(tiles):
+        return jnp.einsum("bhwc,ck->bhwk", tiles, w)
+
+    def fwd_params(params, tiles):
+        return jnp.einsum("bhwc,ck->bhwk", tiles, params["w"])
+
+    scene = np.random.default_rng(1).normal(size=(60, 80, 3)).astype(np.float32)
+    cfg = SlidingWindowConfig(tile_size=32, overlap=8, batch_size=2)
+    mesh = create_mesh(MeshConfig())
+    a = sliding_window_logits_sharded(fwd_closure, scene, 5, mesh, cfg)
+    b = sliding_window_logits_sharded(
+        fwd_params, scene, 5, mesh, cfg, params={"w": w}
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
