@@ -304,6 +304,7 @@ def predict_scene(
     mean: np.ndarray | None = None,
     std: np.ndarray | None = None,
     threshold: float = 0.5,
+    params=None,
 ) -> str:
     """Read a georeferenced scene, run tiled inference, write the class map
     back as a GeoTIFF with the source's transform/CRS."""
@@ -313,7 +314,7 @@ def predict_scene(
     x = scene.astype(np.float32) / 255.0
     if mean is not None:
         x = (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
-    logits = sliding_window_logits(forward, x, num_classes, config)
+    logits = sliding_window_logits(forward, x, num_classes, config, params=params)
     if num_classes == 1:
         preds = (jax.nn.sigmoid(logits[..., 0]) > threshold).astype(jnp.uint8)
     else:
