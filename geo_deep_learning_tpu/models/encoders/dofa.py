@@ -232,6 +232,34 @@ class DOFAv2Embedding(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class _ProjParams(nn.Module):
+    """Parameter shell matching ``nn.DenseGeneral(features=(H, hd))``:
+    declares ``kernel`` [D, H, hd] (lecun-normal) + ``bias`` [H, hd]
+    (zeros) under this module's scope without executing a GEMM — the
+    caller fuses q/k/v into one projection."""
+
+    d: int
+    heads: int
+    head_dim: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.d, self.heads, self.head_dim),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias",
+            nn.initializers.zeros_init(),
+            (self.heads, self.head_dim),
+            self.param_dtype,
+        )
+        return kernel, bias
+
+
 class FusedSelfAttention(nn.Module):
     """Self-attention with the Pallas fused kernel on the score path.
 
@@ -252,15 +280,26 @@ class FusedSelfAttention(nn.Module):
 
         d = x.shape[-1]
         hd = d // self.num_heads
-        dense = functools.partial(
-            nn.DenseGeneral,
-            features=(self.num_heads, hd),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
+        # declare q/k/v params under the SAME paths DenseGeneral would
+        # (query/kernel [D,H,hd] + query/bias [H,hd], ...) for checkpoint
+        # and torch-converter parity, but EXECUTE them as one fused
+        # [D, 3D] GEMM — one MXU pass with 3x-wider N instead of three
+        ps = [
+            _ProjParams(
+                d, self.num_heads, hd, self.param_dtype, name=nm
+            )()
+            for nm in ("query", "key", "value")
+        ]
+        w = jnp.concatenate(
+            [p[0].reshape(d, d) for p in ps], axis=-1
+        ).astype(self.dtype)  # [D, 3D]
+        b = jnp.concatenate([p[1].reshape(d) for p in ps]).astype(self.dtype)
+        qkv = x.astype(self.dtype) @ w + b  # [B, L, 3D]
+        bsz, ln, _ = qkv.shape
+        q, k, v = (
+            t.reshape(bsz, ln, self.num_heads, hd)
+            for t in jnp.split(qkv, 3, axis=-1)
         )
-        q = dense(name="query")(x)  # [B, L, H, hd]
-        k = dense(name="key")(x)
-        v = dense(name="value")(x)
         o = fused_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
