@@ -174,6 +174,17 @@ class Trainer:
         self.ckpt: CheckpointManager | None = None
         self.state: TrainState | None = None
         self._plateau: optim_lib.PlateauController | None = None
+        self._schedule = None
+        self._base_lr = float("nan")
+
+    def _current_lr(self, step: int) -> float:
+        """Effective learning rate for metric logging (reference logs
+        ``lr`` per epoch via Lightning's LearningRateMonitor semantics)."""
+        if self._plateau is not None:
+            return self._plateau.lr
+        if self._schedule is not None:
+            return float(self._schedule(step))
+        return self._base_lr
 
     # ------------------------------------------------------------------
     def _init_state(
@@ -232,6 +243,8 @@ class Trainer:
         schedule, self._plateau = build_schedule(
             sched_cfg, lr, total_steps, steps_per_epoch
         )
+        self._schedule = schedule
+        self._base_lr = lr
 
         tx = optim_lib.build_optimizer(
             params,
@@ -351,7 +364,7 @@ class Trainer:
                 "train_loss": train_loss,
                 "epoch_time_s": epoch_time,
                 "patches_per_sec": throughput,
-                "lr": self._plateau.lr if self._plateau else float("nan"),
+                "lr": self._current_lr(global_step),
                 **val_metrics,
             }
             self.tracker.log_metrics(epoch_metrics, epoch)

@@ -28,11 +28,16 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
+import sys
 import tarfile
 from pathlib import Path
 
 import numpy as np
 import yaml
+
+# runnable straight from a checkout, without the package installed
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _read_pairs(root: Path, split: str) -> list[tuple[Path, Path]]:
