@@ -58,6 +58,8 @@ class PackedConv3x3(nn.Module):
     features: int
     in_features: int
     use_bias: bool = False
+    winograd: bool = False  # run the packed conv through the fused
+    # Winograd F(2x2,3x3) kernel (ops/pallas/winograd.py) when eligible
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -70,13 +72,18 @@ class PackedConv3x3(nn.Module):
             self.param_dtype,
         )
         pk = pack_conv3x3_kernel(kernel.astype(self.dtype))
-        y = jax.lax.conv_general_dilated(
-            xp.astype(self.dtype),
-            pk,
-            (1, 1),
-            "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.winograd:
+            from geo_deep_learning_tpu.ops.pallas.winograd import winograd_conv3x3
+
+            y = winograd_conv3x3(xp.astype(self.dtype), pk)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xp.astype(self.dtype),
+                pk,
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,),
@@ -137,6 +144,7 @@ class PackedConvModule(nn.Module):
 
     features: int
     in_features: int
+    winograd: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -145,6 +153,7 @@ class PackedConvModule(nn.Module):
         xp = PackedConv3x3(
             self.features,
             self.in_features,
+            winograd=self.winograd,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
@@ -167,6 +176,7 @@ class DecoderBlock(nn.Module):
 
     features: int
     packed: bool = False
+    winograd: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -191,6 +201,7 @@ class DecoderBlock(nn.Module):
             xp = PackedConvModule(
                 self.features,
                 in_feats,
+                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="conv1",
@@ -198,6 +209,7 @@ class DecoderBlock(nn.Module):
             return PackedConvModule(
                 self.features,
                 self.features,
+                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="conv2",
@@ -211,10 +223,12 @@ class DecoderBlock(nn.Module):
             # saved traffic.
             x = jnp.concatenate([x, *skips], axis=-1)
         x = ConvModule(
-            self.features, dtype=self.dtype, param_dtype=self.param_dtype, name="conv1"
+            self.features, winograd=self.winograd, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv1"
         )(x, train=train)
         return ConvModule(
-            self.features, dtype=self.dtype, param_dtype=self.param_dtype, name="conv2"
+            self.features, winograd=self.winograd, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv2"
         )(x, train=train)
 
 
@@ -237,6 +251,7 @@ class UnetPlusPlusDecoder(nn.Module):
     # utilization) but LOSES at the 64-channel half-res column (measured
     # 62 -> 85 ms decoder fwd+bwd on v5e) — hence off by default.
     packed_column: bool = False
+    winograd: bool = False  # fused Winograd kernels for eligible 3x3 convs
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -258,6 +273,7 @@ class UnetPlusPlusDecoder(nn.Module):
         def block(d: int, j: int, x, skips):
             return DecoderBlock(
                 out_ch[j] if d == 0 else skip_ch[j],
+                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_{d}_{j}",
@@ -267,6 +283,7 @@ class UnetPlusPlusDecoder(nn.Module):
             return DecoderBlock(
                 out_ch[j] if d == 0 else skip_ch[j],
                 packed=True,
+                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_{d}_{j}",
@@ -316,6 +333,7 @@ class UnetPlusPlusDecoder(nn.Module):
             out = DecoderBlock(
                 out_ch[depth],
                 packed=True,
+                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_0_{depth}",
@@ -323,6 +341,7 @@ class UnetPlusPlusDecoder(nn.Module):
         else:
             out = DecoderBlock(
                 out_ch[depth],
+                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_0_{depth}",

@@ -191,8 +191,10 @@ def analyze(trace_dir: str, steps: int, top: int, group: bool) -> None:
             )
             total_ps = 0.0
             for line in plane["lines"]:
+                # exact match: "Async XLA Ops" (DMA queues, overlapping
+                # with compute) must NOT be summed with the compute line
                 lname = line.get("display_name") or line["name"]
-                if "XLA Ops" not in lname and "XLA Op" != lname:
+                if lname != "XLA Ops":
                     continue
                 for ev in line["events"]:
                     name = plane["event_meta"].get(ev["meta"], {}).get(

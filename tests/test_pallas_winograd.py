@@ -1,0 +1,158 @@
+"""Winograd F(2x2,3x3) conv: reference math + fused Pallas kernel.
+
+The Pallas kernels run in interpreter mode on CPU (like
+tests/test_pallas_mha.py), which validates kernel logic without TPU
+hardware. Reference workload: the UNet++ decoder's lane-limited 3x3
+convs (reference tasks_with_models/segmentation_unetplus.py:126-131
+delegates these to smp/cuDNN).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+import geo_deep_learning_tpu.ops.pallas.winograd as wg
+from geo_deep_learning_tpu.ops.winograd import (
+    rotate_kernel,
+    transform_kernel,
+    transform_kernel_grad,
+    winograd_conv3x3_ref,
+)
+
+
+def direct(x, k):
+    return lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@pytest.fixture()
+def interpret():
+    old = wg._INTERPRET
+    wg._INTERPRET = True
+    yield
+    wg._INTERPRET = old
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(2, 8, 8, 5, 7), (1, 16, 12, 3, 4), (2, 32, 32, 16, 8)],
+)
+def test_reference_matches_direct_conv(shape):
+    b, h, w, ci, co = shape
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, h, w, ci)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, ci, co)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(winograd_conv3x3_ref(x, k)),
+        np.asarray(direct(x, k)),
+        atol=1e-4,
+    )
+
+
+def test_transform_kernel_grad_is_vjp():
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 6)).astype(np.float32))
+    du = jnp.asarray(rng.normal(size=(4, 4, 4, 6)).astype(np.float32))
+    _, vjp = jax.vjp(transform_kernel, k)
+    np.testing.assert_allclose(
+        np.asarray(vjp(du)[0]), np.asarray(transform_kernel_grad(du)), atol=1e-5
+    )
+
+
+def test_rotate_kernel_gives_input_gradient():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 5)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(1, 8, 8, 5)).astype(np.float32))
+    _, vjp = jax.vjp(lambda x: direct(x, k), x)
+    np.testing.assert_allclose(
+        np.asarray(vjp(dy)[0]),
+        np.asarray(direct(dy, rotate_kernel(k))),
+        atol=1e-4,
+    )
+
+
+def test_pallas_forward_matches_direct(interpret):
+    rng = np.random.default_rng(3)
+    b, h, w, ci, co = 2, 16, 16, 64, 32
+    x = jnp.asarray(rng.normal(size=(b, h, w, ci)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.1)
+    th = wg.eligible(x.shape, k.shape)
+    assert th is not None
+    np.testing.assert_allclose(
+        np.asarray(wg._winograd_conv(x, k, th)),
+        np.asarray(direct(x, k)),
+        atol=2e-4,
+    )
+
+
+def test_pallas_gradients_match_autodiff(interpret):
+    rng = np.random.default_rng(4)
+    b, h, w, ci, co = 2, 16, 16, 64, 32
+    x = jnp.asarray(rng.normal(size=(b, h, w, ci)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.1)
+    th = wg.eligible(x.shape, k.shape)
+
+    def loss_w(x, k):
+        return jnp.sum(jnp.sin(wg._winograd_conv(x, k, th)))
+
+    def loss_d(x, k):
+        return jnp.sum(jnp.sin(direct(x, k)))
+
+    gx, gk = jax.grad(loss_w, argnums=(0, 1))(x, k)
+    rx, rk = jax.grad(loss_d, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-3)
+
+
+def test_eligibility_gates():
+    # too-small channel counts fall back to direct conv
+    assert wg.eligible((8, 256, 256, 3), (3, 3, 3, 64)) is None
+    # odd spatial dims are ineligible
+    assert wg.eligible((8, 255, 256, 64), (3, 3, 64, 64)) is None
+    # non-3x3 kernels are ineligible
+    assert wg.eligible((8, 256, 256, 64), (1, 1, 64, 64)) is None
+
+
+def test_dispatcher_fallback_matches(interpret):
+    # winograd_conv3x3 on an ineligible shape = plain conv
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(wg.winograd_conv3x3(x, k)), np.asarray(direct(x, k)), atol=1e-5
+    )
+
+
+def test_conv_module_winograd_param_compat():
+    """winograd=True declares the same param tree as winograd=False."""
+    from geo_deep_learning_tpu.models.layers import ConvModule
+
+    x = jnp.ones((1, 16, 16, 64), jnp.float32)
+    v_plain = ConvModule(features=32).init(jax.random.PRNGKey(0), x)
+    v_wino = ConvModule(features=32, winograd=True).init(
+        jax.random.PRNGKey(0), x
+    )
+    assert jax.tree_util.tree_structure(v_plain) == jax.tree_util.tree_structure(
+        v_wino
+    )
+    shapes = lambda v: jax.tree_util.tree_map(lambda a: a.shape, v)
+    assert shapes(v_plain) == shapes(v_wino)
+
+
+def test_unetpp_winograd_variant_runs_cpu():
+    """Model builds and runs with winograd=True (falls back on CPU)."""
+    from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
+
+    model = UnetPlusPlus(
+        encoder_name="resnet18", num_classes=2, winograd=True
+    )
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    vs = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(vs, x)
+    assert out.out.shape == (1, 64, 64, 2)
