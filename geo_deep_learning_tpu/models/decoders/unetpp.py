@@ -164,6 +164,122 @@ class PackedConvModule(nn.Module):
         return nn.relu(xp)
 
 
+class QuadConv3x3(nn.Module):
+    """3x3 conv on the quad-resident (2x2 phase) representation via the
+    fused Winograd kernel (ops/pallas/winograd.py:winograd_conv3x3_quads).
+
+    Declares EXACTLY ``nn.Conv``'s parameters so checkpoints and torch
+    converters are oblivious to the execution layout.
+    """
+
+    features: int
+    in_features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xq) -> tuple[jnp.ndarray, ...]:
+        from geo_deep_learning_tpu.ops.pallas.winograd import (
+            winograd_conv3x3_quads,
+        )
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            self.param_dtype,
+        )
+        xq = tuple(a.astype(self.dtype) for a in xq)
+        yq = winograd_conv3x3_quads(xq, kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                self.param_dtype,
+            )
+            yq = tuple(y + bias.astype(self.dtype) for y in yq)
+        return yq
+
+
+class QuadBatchNorm(nn.Module):
+    """BatchNorm over quads with full-resolution statistics.
+
+    The 4 quads partition the original spatial positions, so statistics
+    over all four equal the full-resolution batch statistics exactly;
+    parameter/batch_stats layout is identical to ``nn.BatchNorm``.
+    """
+
+    channels: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xq, train: bool = False):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.channels,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.channels,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros_init(),
+            jax.random.PRNGKey(0), (self.channels,), jnp.float32,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones_init(),
+            jax.random.PRNGKey(0), (self.channels,), jnp.float32,
+        )
+        if train:
+            s = jnp.zeros((self.channels,), jnp.float32)
+            sq = jnp.zeros((self.channels,), jnp.float32)
+            n = 0
+            for a in xq:
+                a32 = a.astype(jnp.float32)
+                s = s + jnp.sum(a32, axis=(0, 1, 2))
+                sq = sq + jnp.sum(a32 * a32, axis=(0, 1, 2))
+                n += a.shape[0] * a.shape[1] * a.shape[2]
+            mean = s / n
+            var = sq / n - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        shift = bias - mean * inv
+        return tuple(
+            (a.astype(jnp.float32) * inv + shift).astype(self.dtype) for a in xq
+        )
+
+
+class QuadConvModule(nn.Module):
+    """Quad-resident twin of ``ConvModule`` (same param tree)."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xq, train: bool = False):
+        xq = QuadConv3x3(
+            self.features,
+            self.in_features,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(xq)
+        xq = QuadBatchNorm(self.features, dtype=self.dtype, name="bn")(
+            xq, train=train
+        )
+        return tuple(nn.relu(a) for a in xq)
+
+
 class DecoderBlock(nn.Module):
     """Upsample x2 (nearest) → concat skips → 2x (3x3 conv + BN + ReLU).
 
@@ -176,6 +292,7 @@ class DecoderBlock(nn.Module):
 
     features: int
     packed: bool = False
+    quad: bool = False  # quad-resident input/output (pre-concatenated)
     winograd: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -188,6 +305,24 @@ class DecoderBlock(nn.Module):
         train: bool = False,
         packed_in_features: int | None = None,
     ) -> jnp.ndarray:
+        if self.quad:
+            if skips:
+                msg = "quad DecoderBlock takes a pre-concatenated quad input"
+                raise ValueError(msg)
+            xq = QuadConvModule(
+                self.features,
+                x[0].shape[-1],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv1",
+            )(x, train=train)
+            return QuadConvModule(
+                self.features,
+                self.features,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv2",
+            )(xq, train=train)
         if self.packed:
             if skips:
                 msg = "packed DecoderBlock takes a pre-concatenated input"
@@ -252,6 +387,11 @@ class UnetPlusPlusDecoder(nn.Module):
     # 62 -> 85 ms decoder fwd+bwd on v5e) — hence off by default.
     packed_column: bool = False
     winograd: bool = False  # fused Winograd kernels for eligible 3x3 convs
+    # quad_column: run EVERY dense/backbone node quad-resident (2x2 phase
+    # split held across layers; ops/winograd.py:quad_split) so the fused
+    # Winograd kernels see phase inputs without per-conv split/merge
+    # passes. Identical math and param tree; subsumes packed_column.
+    quad_column: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -288,6 +428,9 @@ class UnetPlusPlusDecoder(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"x_{d}_{j}",
             )(xp, (), train=train, packed_in_features=in_feats)
+
+        if self.quad_column:
+            return self._quad_forward(feats, depth, out_ch, skip_ch, train)
 
         # with packed_tail, the finest column (j == depth-1, the nodes at
         # 1/2 input resolution) and the final full-res block execute in
@@ -351,5 +494,70 @@ class UnetPlusPlusDecoder(nn.Module):
             for d in range(depth - 1, -1, -1):
                 v = dense[(d, depth - 1)]
                 ds.append(depth_to_space(v) if depth - 1 == packed_j else v)
+            return out, ds
+        return out
+
+    def _quad_forward(self, feats, depth, out_ch, skip_ch, train):
+        """Quad-resident dense pathway: every node's activations live as
+        2x2 phase quads, so Winograd convs consume/produce phases without
+        per-conv split/merge HBM passes. Nearest-up2 is FREE in quad space
+        (all four phases of up2(x) equal x), concat/BN/ReLU apply per
+        quad, and statistics are exact (quads partition the positions).
+        """
+        from geo_deep_learning_tpu.ops.winograd import quad_merge, quad_split
+
+        def quad_block(d: int, j: int, xq):
+            return DecoderBlock(
+                out_ch[j] if d == 0 else skip_ch[j],
+                quad=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"x_{d}_{j}",
+            )(xq, (), train=train)
+
+        featq: dict[int, tuple] = {}
+        dense: dict[tuple[int, int], tuple] = {}
+        for layer in range(depth):
+            for d in range(depth - layer):
+                j = d + layer
+                # up2-nearest of the previous node: all 4 phases == source
+                x_m = feats[d] if layer == 0 else quad_merge(dense[(d, j - 1)])
+                if j not in featq:
+                    featq[j] = quad_split(feats[j + 1])
+                parts = [dense[(i, j)] for i in range(d + 1, j + 1)]
+                parts.append(featq[j])
+                xq = tuple(
+                    jnp.concatenate([x_m] + [p[i] for p in parts], axis=-1)
+                    for i in range(4)
+                )
+                dense[(d, j)] = quad_block(d, j, xq)
+        m = quad_merge(dense[(0, depth - 1)])
+        if self.packed_tail:
+            out = DecoderBlock(
+                out_ch[depth],
+                packed=True,
+                winograd=self.winograd,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"x_0_{depth}",
+            )(
+                nearest_up2_packed(m),
+                (),
+                train=train,
+                packed_in_features=out_ch[depth - 1],
+            )
+        else:
+            out = DecoderBlock(
+                out_ch[depth],
+                winograd=self.winograd,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"x_0_{depth}",
+            )(m, (), train=train)
+        if self.deep_supervision:
+            ds = [
+                quad_merge(dense[(d, depth - 1)])
+                for d in range(depth - 1, -1, -1)
+            ]
             return out, ds
         return out

@@ -35,6 +35,7 @@ class UnetPlusPlus(nn.Module):
     packed_tail: bool = True
     packed_column: bool = False  # see UnetPlusPlusDecoder.packed_column
     winograd: bool = False  # fused Winograd kernels for eligible 3x3 convs
+    quad_column: bool = False  # quad-resident dense pathway (see decoder)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -51,6 +52,7 @@ class UnetPlusPlus(nn.Module):
             packed_tail=self.packed_tail,
             packed_column=self.packed_column,
             winograd=self.winograd,
+            quad_column=self.quad_column,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="decoder",

@@ -38,6 +38,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from geo_deep_learning_tpu.ops.winograd import (
+    quad_in_phases,
     rotate_kernel,
     transform_kernel,
     transform_kernel_grad,
@@ -235,7 +236,7 @@ def _fwd_call(phases, u_flat, th):
 
 
 @functools.partial(jax.jit, static_argnames=("th",))
-def _dw_call(phases, dy_phases, cout, th):
+def _dw_call(phases, dy_phases, th):
     from jax.experimental.pallas import tpu as pltpu
 
     b, p1, q1, cin = phases[0].shape
@@ -308,14 +309,41 @@ def _winograd_fwd(x, w, th):
     return _run_fwd(x, w, th), (x, w)
 
 
+# Debug ablations (set from tests/experiments): route the input- or
+# weight-gradient through XLA's direct conv instead of the Pallas kernels.
+_DX_XLA = False
+_DW_XLA = False
+
+
+def _dx_xla(dy, w):
+    return lax.conv_general_dilated(
+        dy, rotate_kernel(w), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _dw_xla(x, dy):
+    # dw[kh,kw,ci,co] = correlation of x with dy over the batch+space dims
+    return lax.conv_general_dilated(
+        jnp.transpose(x, (3, 1, 2, 0)),
+        jnp.transpose(dy, (1, 2, 0, 3)),
+        (1, 1),
+        [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).transpose(1, 2, 0, 3)
+
+
 def _winograd_bwd(th, res, dy):
     x, w = res
     dy = dy.astype(x.dtype)
     # dx: same Winograd conv of dy with the rotated/transposed kernel
-    dx = _run_fwd(dy, rotate_kernel(w), th)
-    # dw: transform-domain correlation, accumulated across the grid
-    du = _dw_call(_split_phases(x), _y_to_phases(dy), w.shape[-1], th)
-    dw = transform_kernel_grad(du.reshape(4, 4, *w.shape[2:]))
+    dx = _dx_xla(dy, w) if _DX_XLA else _run_fwd(dy, rotate_kernel(w), th)
+    if _DW_XLA:
+        dw = _dw_xla(x, dy)
+    else:
+        # dw: transform-domain correlation, accumulated across the grid
+        du = _dw_call(_split_phases(x), _y_to_phases(dy), th)
+        dw = transform_kernel_grad(du.reshape(4, 4, *w.shape[2:]))
     return dx, dw.astype(w.dtype)
 
 
@@ -341,6 +369,57 @@ def eligible(x_shape, w_shape) -> int | None:
     if platform not in ("tpu", "axon") and not _INTERPRET:
         return None
     return _pick_th(h // 2, w_ // 2, cin, cout)
+
+
+def _run_fwd_quads(xq, w, th):
+    u = transform_kernel(w).astype(xq[0].dtype).reshape(16, *w.shape[2:])
+    return _fwd_call(quad_in_phases(xq), u, th)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _winograd_conv_quads(xq, w, th):
+    return _run_fwd_quads(xq, w, th)
+
+
+def _winograd_quads_fwd(xq, w, th):
+    return _run_fwd_quads(xq, w, th), (xq, w)
+
+
+def _winograd_quads_bwd(th, res, dyq):
+    xq, w = res
+    dyq = tuple(g.astype(xq[0].dtype) for g in dyq)
+    dxq = _run_fwd_quads(dyq, rotate_kernel(w), th)
+    du = _dw_call(quad_in_phases(xq), dyq, th)
+    dw = transform_kernel_grad(du.reshape(4, 4, *w.shape[2:]))
+    return tuple(dxq), dw.astype(w.dtype)
+
+
+_winograd_conv_quads.defvjp(_winograd_quads_fwd, _winograd_quads_bwd)
+
+
+def quad_eligible(quad_shape, w_shape) -> int | None:
+    """Eligibility for the quad-resident API (quads are [B,P,Q,C])."""
+    b, p, q, cin = quad_shape
+    return eligible((b, 2 * p, 2 * q, cin), w_shape)
+
+
+def winograd_conv3x3_quads(xq, w: jnp.ndarray):
+    """Stride-1 SAME 3x3 conv on the quad-resident representation.
+
+    ``xq`` is the 4-tuple from ops/winograd.py:quad_split; returns the
+    output's quads. On non-TPU backends (or ineligible shapes) falls back
+    to merge -> lax.conv -> split, which is numerically identical.
+    """
+    from geo_deep_learning_tpu.ops.winograd import quad_merge, quad_split
+
+    th = quad_eligible(xq[0].shape, w.shape)
+    if th is None:
+        y = lax.conv_general_dilated(
+            quad_merge(xq), w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return quad_split(y)
+    return _winograd_conv_quads(tuple(xq), w, th)
 
 
 def winograd_conv3x3(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

@@ -153,6 +153,48 @@ def output_inverse_transform(m: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     )
 
 
+def quad_split(x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """[B,H,W,C] -> UNPADDED 2x2 phase quads (ee, eo, oe, oo), each
+    [B,H/2,W/2,C]. This is the resident representation of the Winograd
+    decoder column: elementwise ops (BN, ReLU) apply per quad, channel
+    concats apply per quad, and the conv kernel consumes/produces quads —
+    so the split/merge passes happen once per column, not once per conv.
+    """
+    return (
+        x[:, 0::2, 0::2],
+        x[:, 0::2, 1::2],
+        x[:, 1::2, 0::2],
+        x[:, 1::2, 1::2],
+    )
+
+
+def quad_merge(quads) -> jnp.ndarray:
+    """Inverse of :func:`quad_split`."""
+    return merge_output_phases(*quads)
+
+
+def quad_in_phases(quads) -> tuple[jnp.ndarray, ...]:
+    """Quads of x -> the PADDED phase arrays of pad(x, 1) that the fused
+    kernel consumes, via four cheap jnp.pad ops (XLA fuses them into the
+    producing elementwise chain):
+
+        Ee[t,s] = x[2t-1, 2s-1] = Xoo[t-1, s-1]   (pad top+left)
+        Eo[t,s] = x[2t-1, 2s  ] = Xoe[t-1, s]     (pad top+right)
+        Oe[t,s] = x[2t,   2s-1] = Xeo[t,   s-1]   (pad left+bottom)
+        Oo[t,s] = x[2t,   2s  ] = Xee[t,   s]     (pad bottom+right)
+    """
+    xee, xeo, xoe, xoo = quads
+    pad = lambda a, top, left: jnp.pad(
+        a, ((0, 0), (top, 1 - top), (left, 1 - left), (0, 0))
+    )
+    return (
+        pad(xoo, 1, 1),
+        pad(xoe, 1, 0),
+        pad(xeo, 0, 1),
+        pad(xee, 0, 0),
+    )
+
+
 def winograd_conv3x3_ref(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Reference F(2x2,3x3) SAME conv via jnp ops (any backend).
 

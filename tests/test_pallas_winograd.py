@@ -145,6 +145,86 @@ def test_conv_module_winograd_param_compat():
     assert shapes(v_plain) == shapes(v_wino)
 
 
+def test_quad_helpers_roundtrip():
+    from geo_deep_learning_tpu.ops.winograd import (
+        pad_and_phase_split,
+        quad_in_phases,
+        quad_merge,
+        quad_split,
+    )
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(quad_merge(quad_split(x))), np.asarray(x)
+    )
+    for a, b in zip(pad_and_phase_split(x), quad_in_phases(quad_split(x))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quad_conv_matches_direct(interpret):
+    from geo_deep_learning_tpu.ops.winograd import quad_merge, quad_split
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 64, 32)).astype(np.float32) * 0.1)
+
+    def loss_w(x, k):
+        yq = wg.winograd_conv3x3_quads(quad_split(x), k)
+        return jnp.sum(jnp.sin(quad_merge(yq)))
+
+    def loss_d(x, k):
+        return jnp.sum(jnp.sin(direct(x, k)))
+
+    np.testing.assert_allclose(
+        np.asarray(quad_merge(wg.winograd_conv3x3_quads(quad_split(x), k))),
+        np.asarray(direct(x, k)),
+        atol=2e-4,
+    )
+    gx, gk = jax.grad(loss_w, argnums=(0, 1))(x, k)
+    rx, rk = jax.grad(loss_d, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-3)
+
+
+def test_quad_column_decoder_matches_baseline():
+    """quad_column=True: identical param tree, outputs, and batch stats."""
+    from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    m0 = UnetPlusPlus(encoder_name="resnet18", num_classes=2)
+    m1 = UnetPlusPlus(encoder_name="resnet18", num_classes=2, quad_column=True)
+    vs = m0.init(jax.random.PRNGKey(0), x)
+    vs1 = m1.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vs) == jax.tree_util.tree_structure(vs1)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(vs, x).out),
+        np.asarray(m1.apply(vs, x).out),
+        atol=1e-5,
+    )
+    o0, u0 = m0.apply(vs, x, train=True, mutable=["batch_stats"])
+    o1, u1 = m1.apply(vs, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(o0.out), np.asarray(o1.out), atol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(u0), jax.tree_util.tree_leaves(u1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dw_xla_ablation_matches():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 5, 7)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(2, 8, 8, 7)).astype(np.float32))
+    _, vjp = jax.vjp(lambda k: direct(x, k), k)
+    np.testing.assert_allclose(
+        np.asarray(wg._dw_xla(x, dy)), np.asarray(vjp(dy)[0]), atol=1e-4
+    )
+
+
 def test_unetpp_winograd_variant_runs_cpu():
     """Model builds and runs with winograd=True (falls back on CPU)."""
     from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
