@@ -43,27 +43,33 @@ _INTERPRET = False  # set True (tests) to run the kernels in pallas
 # casts p to q.dtype.
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, valid):
-    q = q_ref[0, 0]  # [TQ, D] bf16
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, valid, subtiles):
     k = k_ref[0, 0]  # [L, D] bf16
     v = v_ref[0, 0]  # [L, D] bf16
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [TQ, L] f32
-    if valid < k.shape[0]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < valid, s, _NEG)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / denom
-    o_ref[0, 0] = o.astype(o_ref.dtype)
-    # lse is [TQ] logically; stored [TQ, 8] because TPU blocks need a
-    # tileable trailing pair (8 == the array's own last dim)
-    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(denom), (q.shape[0], 8))
+    # Straight-line code over SUBTILES of the query block: the per-tile
+    # chain (QK matmul -> softmax -> PV matmul) strictly alternates MXU
+    # and VPU; two independent chains in one program let Mosaic overlap
+    # tile A's softmax with tile B's matmuls.
+    for i in range(subtiles):
+        sl = pl.ds(i * _TQ, _TQ)
+        q = q_ref[0, 0, sl]  # [TQ, D] bf16
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [TQ, L] f32
+        if valid < k.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
+        o_ref[0, 0, sl] = o.astype(o_ref.dtype)
+        # lse is [TQ] logically; stored [TQ, 8] because TPU blocks need a
+        # tileable trailing pair (8 == the array's own last dim)
+        lse_ref[0, 0, sl] = jnp.broadcast_to(m + jnp.log(denom), (_TQ, 8))
 
 
 def _bwd_kernel(
@@ -109,12 +115,14 @@ def _bwd_kernel(
         ) * scale
         return dk, dv
 
-    dk, dv = jax.lax.fori_loop(
-        0,
-        n_q,
-        body,
-        (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32)),
-    )
+    # UNROLLED over query tiles (n_q is small and static): straight-line
+    # code lets Mosaic overlap iteration i's VPU work (exp, ds) with
+    # iteration i±1's MXU matmuls, which a fori_loop body serializes —
+    # measured as part of the round-2 attention-serialization follow-up.
+    carry = (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
+    for i in range(n_q):
+        carry = body(i, carry)
+    dk, dv = carry
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -129,15 +137,21 @@ def _fwd(q, k, v, scale, valid):
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    grid = (b, h, lq // _TQ)
+    # two query tiles per program when the padded length allows (the
+    # interleaved chains hide softmax VPU latency behind the matmuls)
+    subtiles = 2 if lq % (2 * _TQ) == 0 else 1
+    qblk = subtiles * _TQ
+    grid = (b, h, lq // qblk)
     kv_spec = pl.BlockSpec(
         (1, 1, lk, d), lambda bi, hi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
     )
     q_spec = pl.BlockSpec(
-        (1, 1, _TQ, d), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
+        (1, 1, qblk, d), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, valid=valid),
+        functools.partial(
+            _fwd_kernel, scale=scale, valid=valid, subtiles=subtiles
+        ),
         grid=grid,
         interpret=_INTERPRET,
         compiler_params=pltpu.CompilerParams(
@@ -147,7 +161,7 @@ def _fwd(q, k, v, scale, valid):
         out_specs=(
             q_spec,
             pl.BlockSpec(
-                (1, 1, _TQ, 8), lambda bi, hi, qi: (bi, hi, qi, 0),
+                (1, 1, qblk, 8), lambda bi, hi, qi: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
