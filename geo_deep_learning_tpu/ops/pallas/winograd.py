@@ -160,17 +160,17 @@ def _dw_kernel(
         du_ref[p] += contrib
 
 
-def _phase_specs(th, q, c, halo):
-    """(main, halo) BlockSpecs for one phase array [B, P+1, Q+1, C]."""
+def _phase_specs(th, q, c):
+    """(main, halo) BlockSpecs: main covers TH rows of a phase array
+    [B, P+1, Q+1, C]; halo covers one row of the pre-sliced halo array
+    [B, P/TH, Q+1, C] (see :func:`_halo_rows`)."""
     from jax.experimental.pallas import tpu as pltpu
 
     main = pl.BlockSpec(
         (1, th, q + 1, c), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
     )
     halo_spec = pl.BlockSpec(
-        (1, 1, q + 1, c),
-        lambda b, r, _th=th: (b, _th * r + _th, 0, 0),
-        memory_space=pltpu.VMEM,
+        (1, 1, q + 1, c), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
     )
     return main, halo_spec
 
@@ -205,6 +205,15 @@ def _pick_th(p: int, q: int, cin: int, cout: int) -> int | None:
     return None
 
 
+def _halo_rows(phases, th):
+    """Pre-slice the per-block halo rows (row th*r+th of each phase) into
+    their own [B, R, Q+1, C] arrays, so the kernel's halo operand is a
+    distinct buffer with a plain blocked spec — the same array fetched
+    through two different BlockSpecs is the pattern suspected in a
+    TPU-worker fault seen only inside large optimizer steps."""
+    return tuple(ph[:, th::th] for ph in phases)
+
+
 @functools.partial(jax.jit, static_argnames=("th",))
 def _fwd_call(phases, u_flat, th):
     from jax.experimental.pallas import tpu as pltpu
@@ -213,7 +222,7 @@ def _fwd_call(phases, u_flat, th):
     p, q = p1 - 1, q1 - 1
     cout = u_flat.shape[-1]
     grid = (b, p // th)
-    main, halo = _phase_specs(th, q, cin, halo=True)
+    main, halo = _phase_specs(th, q, cin)
     u_spec = pl.BlockSpec(
         (16, cin, cout), lambda bi, r: (0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -232,7 +241,7 @@ def _fwd_call(phases, u_flat, th):
         in_specs=[main] * 4 + [halo] * 4 + [u_spec],
         out_specs=(out_spec,) * 4,
         out_shape=(out_shape,) * 4,
-    )(*phases, *phases, u_flat)
+    )(*phases, *_halo_rows(phases, th), u_flat)
 
 
 @functools.partial(jax.jit, static_argnames=("th",))
@@ -243,7 +252,7 @@ def _dw_call(phases, dy_phases, th):
     p, q = p1 - 1, q1 - 1
     n = dy_phases[0].shape[-1]
     grid = (b, p // th)
-    main, halo = _phase_specs(th, q, cin, halo=True)
+    main, halo = _phase_specs(th, q, cin)
     g_spec = pl.BlockSpec(
         (1, th, q, n), lambda bi, r: (bi, r, 0, 0), memory_space=pltpu.VMEM
     )
@@ -261,7 +270,7 @@ def _dw_call(phases, dy_phases, th):
         in_specs=[main] * 4 + [halo] * 4 + [g_spec] * 4,
         out_specs=du_spec,
         out_shape=jax.ShapeDtypeStruct((16, cin, n), jnp.float32),
-    )(*phases, *phases, *dy_phases)
+    )(*phases, *_halo_rows(phases, th), *dy_phases)
 
 
 def _split_phases(x):
