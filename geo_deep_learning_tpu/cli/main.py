@@ -85,10 +85,22 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     setup_logging()
     parser = argparse.ArgumentParser(prog="gdl-tpu")
     parser.add_argument(
-        "subcommand", choices=["fit", "validate", "test", "predict"]
+        "subcommand",
+        choices=["fit", "validate", "test", "predict", "predict-scene"],
     )
     parser.add_argument("--config", required=True)
     parser.add_argument("--ckpt-path", default=None)
+    # predict-scene options (full-scene sliding-window inference)
+    parser.add_argument("--scene", default=None, help="input GeoTIFF scene")
+    parser.add_argument("--output", default=None, help="output class map path")
+    parser.add_argument("--tile-size", type=int, default=512)
+    parser.add_argument("--tile-overlap", type=int, default=128)
+    parser.add_argument("--tile-batch", type=int, default=8)
+    parser.add_argument(
+        "--streamed",
+        action="store_true",
+        help="band-streamed I/O (auto-enabled for scenes > 512 MB)",
+    )
     parser.add_argument("overrides", nargs="*", help="a.b.c=value overrides")
     args = parser.parse_args(argv)
 
@@ -116,6 +128,8 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
         result = trainer.fit(
             spec.task, datamodule, ckpt_path=ckpt_path, **spec.fit_kwargs()
         )
+    elif args.subcommand == "predict-scene":
+        result = run_predict_scene(trainer, spec, datamodule, ckpt_path, args)
     else:
         result = run_eval_from_ckpt(
             trainer, spec, datamodule, ckpt_path, args.subcommand
@@ -123,6 +137,81 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     tracker.finish()
     logger.info("%s result: %s", args.subcommand, result)
     return result
+
+
+def run_predict_scene(trainer, spec, datamodule, ckpt_path, args):
+    """Full-scene sliding-window inference from the CLI (a capability the
+    reference lacks — its workflows pre-tile scenes offline, SURVEY.md §5).
+    Streams band-by-band for scenes too large for host memory."""
+    from geo_deep_learning_tpu.inference.sliding_window import (
+        SlidingWindowConfig,
+        predict_scene,
+    )
+    from geo_deep_learning_tpu.inference.streaming import predict_scene_streamed
+    from geo_deep_learning_tpu.training.checkpoint import CheckpointManager
+
+    if not args.scene:
+        msg = "predict-scene requires --scene <input.tif>"
+        raise SystemExit(msg)
+    scene_path = Path(args.scene)
+    out_path = (
+        Path(args.output)
+        if args.output
+        else scene_path.with_name(scene_path.stem + "_pred.tif")
+    )
+    task = spec.task
+    cfg = SlidingWindowConfig(
+        tile_size=args.tile_size,
+        overlap=args.tile_overlap,
+        batch_size=args.tile_batch,
+    )
+    # init variables from a dummy tile batch, then restore the checkpoint
+    from geo_deep_learning_tpu.data.geotiff_stream import GeoTiffWindowReader
+
+    with GeoTiffWindowReader(scene_path) as r:
+        channels = r.channels
+    dummy = {
+        "image": np.zeros((1, cfg.tile_size, cfg.tile_size, channels), np.float32),
+        "mask": np.zeros((1, cfg.tile_size, cfg.tile_size), np.int32),
+    }
+    trainer.state = trainer._init_state(
+        task, dummy, spec.optimizer, spec.scheduler, None,
+        weights_from_checkpoint_path=spec.weights_from_checkpoint_path,
+        load_parts=spec.load_parts, freeze_layers=spec.freeze_layers,
+    )
+    if ckpt_path:
+        mgr = CheckpointManager(trainer.config.checkpoint_dir)
+        trainer.state = mgr.restore(ckpt_path, trainer.state)
+    state = trainer.state
+    batch_stats = state.batch_stats
+    wv = (
+        None
+        if not task.uses_wavelengths
+        else np.asarray(task.default_wavelengths or [0.665, 0.549, 0.481], np.float32)
+    )
+
+    def forward(params, tiles):
+        variables = {"params": params, "batch_stats": batch_stats}
+        model_args = (tiles,) if wv is None else (tiles, wv)
+        return task.model.apply(variables, *model_args, train=False).out
+
+    mean = getattr(datamodule, "mean", None)
+    std = getattr(datamodule, "std", None)
+    streamed = args.streamed or scene_path.stat().st_size > 512 * 1024 * 1024
+    runner = predict_scene_streamed if streamed else predict_scene
+    out = runner(
+        forward,
+        str(scene_path),
+        str(out_path),
+        num_classes=task.num_classes,
+        config=cfg,
+        mean=mean,
+        std=std,
+        threshold=task.threshold,
+        params=state.params,
+    )
+    logger.info("wrote scene prediction to %s (streamed=%s)", out, streamed)
+    return {"output": str(out), "streamed": streamed}
 
 
 def run_eval_from_ckpt(trainer, spec, datamodule, ckpt_path, mode: str):

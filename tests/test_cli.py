@@ -182,6 +182,38 @@ def test_cli_fit_and_test(mini_dataset, tmp_path):
     arr, _ = read_geotiff(str(pred_files[0]))
     assert arr.squeeze().ndim == 2  # class-index raster
 
+    # predict-scene: full-scene sliding-window inference from the CLI
+    rng = np.random.default_rng(5)
+    scene = rng.integers(0, 255, (80, 72, 3)).astype(np.uint8)
+    scene_path = tmp_path / "scene.tif"
+    write_geotiff(scene_path, scene)
+    result5 = main(
+        [
+            "predict-scene", "--config", str(cfg_path),
+            "--ckpt-path", str(ckpts[0]),
+            "--scene", str(scene_path),
+            "--output", str(tmp_path / "scene_pred.tif"),
+            "--tile-size", "32", "--tile-overlap", "8", "--tile-batch", "4",
+        ]
+    )
+    pred, _ = read_geotiff(result5["output"])
+    assert pred.shape[:2] == (80, 72)
+
+    # --streamed produces the identical map
+    result6 = main(
+        [
+            "predict-scene", "--config", str(cfg_path),
+            "--ckpt-path", str(ckpts[0]),
+            "--scene", str(scene_path),
+            "--output", str(tmp_path / "scene_pred_s.tif"),
+            "--tile-size", "32", "--tile-overlap", "8", "--tile-batch", "4",
+            "--streamed",
+        ]
+    )
+    pred_s, _ = read_geotiff(result6["output"])
+    assert result6["streamed"]
+    np.testing.assert_array_equal(pred, pred_s)
+
 
 def test_cli_shipped_configs_parse():
     """The three shipped recipes must at least instantiate their model."""
