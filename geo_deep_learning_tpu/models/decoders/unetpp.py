@@ -179,9 +179,12 @@ class QuadConv3x3(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xq) -> tuple[jnp.ndarray, ...]:
+    def __call__(self, parts) -> tuple[jnp.ndarray, ...]:
+        """``parts``: list of quad 4-tuples; the conv runs over their
+        channel concatenation WITHOUT materializing it (the multi-part
+        kernel reads each part separately)."""
         from geo_deep_learning_tpu.ops.pallas.winograd import (
-            winograd_conv3x3_quads,
+            winograd_conv3x3_parts,
         )
 
         kernel = self.param(
@@ -190,8 +193,8 @@ class QuadConv3x3(nn.Module):
             (3, 3, self.in_features, self.features),
             self.param_dtype,
         )
-        xq = tuple(a.astype(self.dtype) for a in xq)
-        yq = winograd_conv3x3_quads(xq, kernel.astype(self.dtype))
+        parts = [tuple(a.astype(self.dtype) for a in xq) for xq in parts]
+        yq = winograd_conv3x3_parts(parts, kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,),
@@ -266,14 +269,14 @@ class QuadConvModule(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xq, train: bool = False):
+    def __call__(self, parts, train: bool = False):
         xq = QuadConv3x3(
             self.features,
             self.in_features,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
-        )(xq)
+        )(parts)
         xq = QuadBatchNorm(self.features, dtype=self.dtype, name="bn")(
             xq, train=train
         )
@@ -307,11 +310,12 @@ class DecoderBlock(nn.Module):
     ) -> jnp.ndarray:
         if self.quad:
             if skips:
-                msg = "quad DecoderBlock takes a pre-concatenated quad input"
+                msg = "quad DecoderBlock takes a list of quad parts"
                 raise ValueError(msg)
+            in_feats = sum(xq[0].shape[-1] for xq in x)
             xq = QuadConvModule(
                 self.features,
-                x[0].shape[-1],
+                in_feats,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="conv1",
@@ -322,7 +326,7 @@ class DecoderBlock(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="conv2",
-            )(xq, train=train)
+            )([xq], train=train)
         if self.packed:
             if skips:
                 msg = "packed DecoderBlock takes a pre-concatenated input"
@@ -524,13 +528,10 @@ class UnetPlusPlusDecoder(nn.Module):
                 x_m = feats[d] if layer == 0 else quad_merge(dense[(d, j - 1)])
                 if j not in featq:
                     featq[j] = quad_split(feats[j + 1])
-                parts = [dense[(i, j)] for i in range(d + 1, j + 1)]
+                parts = [(x_m, x_m, x_m, x_m)]
+                parts += [dense[(i, j)] for i in range(d + 1, j + 1)]
                 parts.append(featq[j])
-                xq = tuple(
-                    jnp.concatenate([x_m] + [p[i] for p in parts], axis=-1)
-                    for i in range(4)
-                )
-                dense[(d, j)] = quad_block(d, j, xq)
+                dense[(d, j)] = quad_block(d, j, parts)
         m = quad_merge(dense[(0, depth - 1)])
         if self.packed_tail:
             out = DecoderBlock(
