@@ -214,6 +214,58 @@ def test_quad_column_decoder_matches_baseline():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_multi_part_conv_matches_concat(interpret):
+    """v2 kernel: conv over a channel concat given as separate parts."""
+    from geo_deep_learning_tpu.ops.winograd import quad_merge, quad_split
+
+    rng = np.random.default_rng(10)
+    chs = (48, 16, 32)
+    xs = [
+        jnp.asarray(rng.normal(size=(2, 16, 16, c)).astype(np.float32))
+        for c in chs
+    ]
+    k = jnp.asarray(
+        rng.normal(size=(3, 3, sum(chs), 32)).astype(np.float32) * 0.1
+    )
+
+    def direct_cat(xs, k):
+        return direct(jnp.concatenate(xs, axis=-1), k)
+
+    def loss_w(xs, k):
+        yq = wg.winograd_conv3x3_parts([quad_split(x) for x in xs], k)
+        return jnp.sum(jnp.sin(quad_merge(yq)))
+
+    def loss_d(xs, k):
+        return jnp.sum(jnp.sin(direct_cat(xs, k)))
+
+    yq = wg.winograd_conv3x3_parts([quad_split(x) for x in xs], k)
+    np.testing.assert_allclose(
+        np.asarray(quad_merge(yq)), np.asarray(direct_cat(xs, k)), atol=2e-4
+    )
+    gx, gk = jax.grad(loss_w, argnums=(0, 1))(xs, k)
+    rx, rk = jax.grad(loss_d, argnums=(0, 1))(xs, k)
+    for a, b in zip(gx, rx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-3)
+
+
+def test_multi_part_shared_up2_part(interpret):
+    """The nearest-up2 part (all four quads identical) is exact."""
+    from geo_deep_learning_tpu.ops.winograd import quad_merge, quad_split
+    from geo_deep_learning_tpu.ops.resize import resize
+
+    rng = np.random.default_rng(11)
+    lo = jnp.asarray(rng.normal(size=(1, 8, 8, 64)).astype(np.float32))
+    skip = jnp.asarray(rng.normal(size=(1, 16, 16, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 80, 32)).astype(np.float32) * 0.1)
+    up = resize(lo, scale_factor=2.0, method="nearest")
+    ref = direct(jnp.concatenate([up, skip], axis=-1), k)
+    yq = wg.winograd_conv3x3_parts([(lo, lo, lo, lo), quad_split(skip)], k)
+    np.testing.assert_allclose(
+        np.asarray(quad_merge(yq)), np.asarray(ref), atol=2e-4
+    )
+
+
 def test_dw_xla_ablation_matches():
     rng = np.random.default_rng(9)
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)).astype(np.float32))
