@@ -39,12 +39,13 @@ A100_ESTIMATE = {
     # ~ 1/3 of the full step on the same profile mix)
     "dofa_base_frozen": 40.0,
 }
-# per-model default batch: all families bench at 8 (batch size is an
-# implementation-freedom throughput knob; bs8 fits DOFA-base in HBM and
-# measures 29% faster than the reference configs' bs4)
+# per-model default batch (batch size is an implementation-freedom
+# throughput knob): bs8 fits DOFA-base in HBM and measures 29% faster
+# than the reference configs' bs4; UNet++ gains another ~4% at bs16
+# (fixed per-op overheads amortize across the larger GEMM M dim)
 DEFAULT_BATCH = {
     "segformer_b0": 8,
-    "unetpp_r34": 8,
+    "unetpp_r34": 16,
     "dofa_base": 8,
     "dofa_base_frozen": 8,
 }
