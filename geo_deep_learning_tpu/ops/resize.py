@@ -65,18 +65,65 @@ def resize(
     elif method == "bilinear" and align_corners:
         out = _corner_aligned_1d(_corner_aligned_1d(x, size[0], 1), size[1], 2)
     elif method == "bilinear":
-        # antialias=False matches torch F.interpolate's plain bilinear
-        # (torch does not low-pass filter on downscale unless antialias=True)
-        out = jax.image.resize(
-            x,
-            (x.shape[0], size[0], size[1], x.shape[3]),
-            method="bilinear",
-            antialias=False,
-        )
+        # exact integer-factor fast paths: half-pixel 2x up is a fixed
+        # [0.25, 0.75] phase blend and 2x down is a pair average — pure
+        # elementwise + reshape, where jax.image.resize lowers to
+        # dot/transpose chains (profiled at ~6 ms/step in the DOFA neck)
+        if size == (2 * h, 2 * w):
+            out = _half_pixel_up2(_half_pixel_up2(x, 1), 2)
+        elif (h, w) == (2 * size[0], 2 * size[1]):
+            out = _half_pixel_down2(x)
+        else:
+            # antialias=False matches torch F.interpolate's plain bilinear
+            # (torch does not low-pass filter on downscale unless
+            # antialias=True)
+            out = jax.image.resize(
+                x,
+                (x.shape[0], size[0], size[1], x.shape[3]),
+                method="bilinear",
+                antialias=False,
+            )
     else:
         msg = f"unsupported resize method: {method}"
         raise ValueError(msg)
     return out if batched else out[0]
+
+
+def _half_pixel_up2(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x half-pixel bilinear upsample along ``axis``.
+
+    dst 2i sits at src i - 0.25 and dst 2i+1 at src i + 0.25, so the two
+    output phases are fixed [0.25, 0.75] blends of adjacent inputs with
+    edge clamping — identical numerics to
+    ``jax.image.resize(method="bilinear", antialias=False)``.
+    """
+    n = x.shape[axis]
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    first = [slice(None)] * x.ndim
+    last = [slice(None)] * x.ndim
+    lo[axis], hi[axis] = slice(0, n - 1), slice(1, n)
+    first[axis], last[axis] = slice(0, 1), slice(n - 1, n)
+    up = jnp.concatenate([x[tuple(first)], x[tuple(lo)]], axis=axis)
+    dn = jnp.concatenate([x[tuple(hi)], x[tuple(last)]], axis=axis)
+    even = 0.25 * up + 0.75 * x
+    odd = 0.75 * x + 0.25 * dn
+    inter = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return inter.reshape(shape).astype(x.dtype)
+
+
+def _half_pixel_down2(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x half-pixel bilinear downsample (both spatial axes): dst i
+    sits at src 2i + 0.5 — the average of each input pair."""
+    b, h, w, c = x.shape
+    v = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    quarter = jnp.asarray(0.25, v.dtype)
+    return (
+        (v[:, :, 0, :, 0] + v[:, :, 0, :, 1] + v[:, :, 1, :, 0] + v[:, :, 1, :, 1])
+        * quarter
+    ).astype(x.dtype)
 
 
 def _nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
