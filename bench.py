@@ -44,10 +44,10 @@ A100_ESTIMATE = {
 # than the reference configs' bs4; UNet++ gains another ~4% at bs16
 # (fixed per-op overheads amortize across the larger GEMM M dim)
 DEFAULT_BATCH = {
-    "segformer_b0": 8,
+    "segformer_b0": 16,
     "unetpp_r34": 16,
-    "dofa_base": 8,
-    "dofa_base_frozen": 8,
+    "dofa_base": 16,
+    "dofa_base_frozen": 16,
 }
 TARGET_MULTIPLIER = 3.0
 
