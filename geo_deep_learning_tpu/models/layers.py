@@ -43,7 +43,13 @@ class ConvModule(nn.Module):
     act: Callable | None = nn.relu
     transpose: bool = False
     use_bias: bool | None = None  # default: bias iff no norm
-    winograd: bool = False  # F(2x2,3x3) fused kernel for eligible 3x3 convs
+    # winograd: EXPERIMENTAL — route eligible 3x3 convs through the fused
+    # F(2x2,3x3) kernel (ops/pallas/winograd.py). The kernel is 2.5x
+    # faster than direct conv in isolation but loses end-to-end to XLA's
+    # conv fusion economics, and large optimizer steps containing many
+    # instances were observed to fault the TPU worker — see BASELINE.md
+    # "Winograd investigation". Keep off in production paths.
+    winograd: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
