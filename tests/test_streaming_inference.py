@@ -111,6 +111,35 @@ def test_streamed_blend_matches_monolithic(shape):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_streamed_sharded_matches_monolithic():
+    """Banded streaming + mesh data parallelism: same blend as monolithic
+    (BASELINE.json config #5 combined with ROADMAP #6)."""
+    from geo_deep_learning_tpu.core.mesh import MeshConfig, create_mesh
+
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    h, w = 96, 80
+    rng = np.random.default_rng(4)
+    scene = rng.normal(size=(h, w, 3)).astype(np.float32)
+    cfg = SlidingWindowConfig(tile_size=32, overlap=8, batch_size=2)
+    ref = np.asarray(sliding_window_logits(_toy_forward, scene, 2, cfg))
+
+    got = np.zeros((h, w, 2), np.float32)
+
+    def write_rows(row0, rows):
+        got[row0 : row0 + rows.shape[0]] = rows
+
+    streamed_scene_logits_writer(
+        _toy_forward,
+        _ArrayReader(scene),
+        write_rows,
+        2,
+        cfg,
+        band_tile_rows=2,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_predict_scene_streamed_end_to_end(tmp_path):
     rng = np.random.default_rng(3)
     img = rng.integers(0, 255, size=(70, 50, 3)).astype(np.uint8)
