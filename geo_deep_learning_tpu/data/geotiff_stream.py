@@ -55,7 +55,6 @@ from geo_deep_learning_tpu.data.geotiff import (
     _parse_geo,
     _TiffFile,
     _TYPE_FMT,
-    _TYPE_SIZES,
     _undo_predictor,
 )
 
