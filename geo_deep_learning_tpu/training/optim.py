@@ -62,14 +62,28 @@ def linear_warmup_cosine_annealing(
     base_lr: float = 1e-3,
 ) -> optax.Schedule:
     """Reference ``LinearWarmupCosineAnnealingLR`` (tools/schedulers/
-    lr_scheduler.py:13-163), expressed in steps of its ``interval`` unit."""
-    return optax.warmup_cosine_decay_schedule(
+    lr_scheduler.py:13-163), expressed in steps of its ``interval`` unit.
+
+    Matches the reference's closed form exactly (golden-tested): the
+    warmup ramp divides by ``warmup_epochs - 1`` — base_lr is REACHED at
+    epoch warmup_epochs - 1 and held through epoch warmup_epochs — and
+    the cosine phase spans ``max_epochs - warmup_epochs`` epochs down to
+    ``eta_min``. (optax's warmup_cosine_decay_schedule divides the ramp
+    by warmup_steps instead, which runs ~one epoch behind.)
+    """
+    ramp = optax.linear_schedule(
         init_value=warmup_start_lr,
-        peak_value=base_lr,
-        warmup_steps=warmup_epochs,
-        decay_steps=max_epochs,
-        end_value=eta_min,
+        end_value=base_lr,
+        transition_steps=max(warmup_epochs - 1, 1),
     )
+    span = max(max_epochs - warmup_epochs, 1)
+    if base_lr == 0.0:
+        cosine = optax.constant_schedule(0.0)
+    else:
+        cosine = optax.cosine_decay_schedule(
+            init_value=base_lr, decay_steps=span, alpha=eta_min / base_lr
+        )
+    return optax.join_schedules([ramp, cosine], [warmup_epochs])
 
 
 def linear_warmup_decay(
