@@ -170,10 +170,19 @@ def run_predict_scene(trainer, spec, datamodule, ckpt_path, args):
 
     with GeoTiffWindowReader(scene_path) as r:
         channels = r.channels
+    wv = (
+        None
+        if not task.uses_wavelengths
+        else np.asarray(
+            task.default_wavelengths or [0.665, 0.549, 0.481], np.float32
+        )
+    )
     dummy = {
         "image": np.zeros((1, cfg.tile_size, cfg.tile_size, channels), np.float32),
         "mask": np.zeros((1, cfg.tile_size, cfg.tile_size), np.int32),
     }
+    if wv is not None:
+        dummy["wavelengths"] = wv
     trainer.state = trainer._init_state(
         task, dummy, spec.optimizer, spec.scheduler, None,
         weights_from_checkpoint_path=spec.weights_from_checkpoint_path,
@@ -184,11 +193,6 @@ def run_predict_scene(trainer, spec, datamodule, ckpt_path, args):
         trainer.state = mgr.restore(ckpt_path, trainer.state)
     state = trainer.state
     batch_stats = state.batch_stats
-    wv = (
-        None
-        if not task.uses_wavelengths
-        else np.asarray(task.default_wavelengths or [0.665, 0.549, 0.481], np.float32)
-    )
 
     def forward(params, tiles):
         variables = {"params": params, "batch_stats": batch_stats}
