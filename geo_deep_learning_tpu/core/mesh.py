@@ -22,10 +22,12 @@ across hosts automatically via device order.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import logging
+import threading
 from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Any, Callable, Iterator
 
 import jax
 import numpy as np
@@ -35,6 +37,36 @@ logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+# --- trace-time compute-mesh context ---------------------------------------
+# Pallas custom calls are opaque to GSPMD: under a multi-device jit XLA
+# cannot infer a partitioning for a ``pallas_call``, so kernels must be
+# wrapped in ``shard_map`` to run per-shard. The kernels live deep inside
+# Flax modules that know nothing about meshes; this context communicates
+# the active mesh to them at TRACE time (the jitted step bodies enter it,
+# see training/steps.py), so kernel wrappers (ops/pallas/spmd.py) can
+# shard_map themselves over their embarrassingly-parallel dims.
+_COMPUTE_MESH = threading.local()
+
+
+def compute_mesh() -> Mesh | None:
+    """The mesh the current trace is being partitioned over (or None)."""
+    return getattr(_COMPUTE_MESH, "mesh", None)
+
+
+@contextlib.contextmanager
+def use_compute_mesh(mesh: Mesh | None) -> Iterator[None]:
+    """Declare ``mesh`` as the ambient compute mesh for code traced inside.
+
+    A no-op for ``None`` or single-device meshes at the consumer side;
+    nesting restores the previous value on exit.
+    """
+    prev = compute_mesh()
+    _COMPUTE_MESH.mesh = mesh
+    try:
+        yield
+    finally:
+        _COMPUTE_MESH.mesh = prev
 
 
 @dataclass(frozen=True)

@@ -275,5 +275,17 @@ def fused_attention(
             return x
         return jnp.pad(x, ((0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)))
 
-    out = _attention(pad(q, lq_pad), pad(k, lk_pad), pad(v, lk_pad), scale, lk)
-    return out[:, :, :lq, :]
+    def call(q, k, v):
+        out = _attention(
+            pad(q, lq_pad), pad(k, lk_pad), pad(v, lk_pad), scale, lk
+        )
+        return out[:, :, :lq, :]
+
+    # multi-chip: run per-device over (batch, head) via shard_map — the
+    # pallas custom call is opaque to GSPMD (ops/pallas/spmd.py)
+    from jax.sharding import PartitionSpec as P
+
+    from geo_deep_learning_tpu.ops.pallas.spmd import maybe_shard_map
+
+    spec = P("data", "model")
+    return maybe_shard_map(call, (q, k, v), (spec, spec, spec), spec)

@@ -88,7 +88,17 @@ def fused_normalize_standardize(
         std = jnp.broadcast_to(std[None], (image.shape[0], std.shape[0]))
     if jax.default_backend() in ("tpu",) or _is_axon():
         try:
-            return _pallas_call(image, mean, std, out_dtype)
+            # multi-chip: per-device over the batch via shard_map — the
+            # pallas custom call is opaque to GSPMD (ops/pallas/spmd.py)
+            from jax.sharding import PartitionSpec as P
+
+            from geo_deep_learning_tpu.ops.pallas.spmd import maybe_shard_map
+
+            spec = P("data")
+            return maybe_shard_map(
+                lambda i, m, s: _pallas_call(i, m, s, out_dtype),
+                (image, mean, std), (spec, spec, spec), spec,
+            )
         except Exception:  # pallas unavailable → identical jnp path
             pass
     return _jnp_reference(image, mean, std, out_dtype)

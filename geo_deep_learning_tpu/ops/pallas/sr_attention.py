@@ -132,6 +132,16 @@ def sr_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
 ) -> jnp.ndarray:
     """Attention over [B, H, L, D] tensors; fused on TPU when supported."""
-    if _supported(q, k):
-        return _attention(q, k, v, scale)
-    return _einsum_attention(q, k, v, scale)
+    if not _supported(q, k):
+        return _einsum_attention(q, k, v, scale)
+    # multi-chip: run per-device over (batch, head) via shard_map — the
+    # pallas custom call is opaque to GSPMD (ops/pallas/spmd.py)
+    from jax.sharding import PartitionSpec as P
+
+    from geo_deep_learning_tpu.ops.pallas.spmd import maybe_shard_map
+
+    spec = P("data", "model")
+    return maybe_shard_map(
+        lambda q, k, v: _attention(q, k, v, scale), (q, k, v),
+        (spec, spec, spec), spec,
+    )

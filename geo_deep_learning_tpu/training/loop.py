@@ -321,8 +321,9 @@ class Trainer:
             self.precision,
             AugmentConfig() if cfg.augment else None,
             freeze_patterns=freeze_layers,
+            mesh=self.mesh,
         )
-        eval_step = make_eval_step(task, self.precision)
+        eval_step = make_eval_step(task, self.precision, mesh=self.mesh)
 
         stopper = (
             EarlyStopping(
@@ -499,7 +500,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def validate(self, task: SegmentationTask, datamodule) -> dict:
         datamodule.setup("validate")
-        eval_step = make_eval_step(task, self.precision)
+        eval_step = make_eval_step(task, self.precision, mesh=self.mesh)
         metrics, _ = self._run_eval(
             task, eval_step, datamodule.val_dataloader(), prefix="val"
         )
@@ -512,7 +513,7 @@ class Trainer:
         if ckpt_path and self.state is not None:
             mgr = self.ckpt or CheckpointManager(self.config.checkpoint_dir)
             self.state = mgr.restore(ckpt_path, self.state)
-        eval_step = make_eval_step(task, self.precision)
+        eval_step = make_eval_step(task, self.precision, mesh=self.mesh)
         metrics, _ = self._run_eval(
             task,
             eval_step,
@@ -523,7 +524,7 @@ class Trainer:
         return metrics
 
     def predict(self, task: SegmentationTask, loader: Iterable):
-        predict_step = make_predict_step(task, self.precision)
+        predict_step = make_predict_step(task, self.precision, mesh=self.mesh)
         for batch in loader:
             db = shard_batch(device_batch(batch), self.mesh)
             out = predict_step(self.state, db)

@@ -22,6 +22,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from geo_deep_learning_tpu.core.mesh import use_compute_mesh
 from geo_deep_learning_tpu.core.precision import PrecisionPolicy
 from geo_deep_learning_tpu.core.train_state import TrainState
 from geo_deep_learning_tpu.ops.augment import AugmentConfig, apply_augmentations
@@ -57,8 +58,13 @@ def make_train_step(
     precision: PrecisionPolicy,
     augment: AugmentConfig | None = AugmentConfig(),
     freeze_patterns: list[str] | None = None,
+    mesh=None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Build the jitted training step (donates the state).
+
+    ``mesh``: the GSPMD mesh the step runs over. Declaring it lets the
+    Pallas kernels shard_map themselves per-device on multi-chip runs
+    (ops/pallas/spmd.py); single-device meshes cost nothing.
 
     ``freeze_patterns``: param-path substrings to freeze. Beyond the
     optimizer mask (training/optim.py ``freeze_mask``), frozen subtrees
@@ -84,6 +90,10 @@ def make_train_step(
         return jax.tree_util.tree_map_with_path(maybe_stop, params)
 
     def train_step(state: TrainState, batch: dict):
+        with use_compute_mesh(mesh):
+            return _train_step(state, batch)
+
+    def _train_step(state: TrainState, batch: dict):
         rng_aug, rng_drop, rng_next = jax.random.split(state.rng, 3)
         image = _prepare_image(batch, precision)
         mask = batch["mask"]
@@ -121,6 +131,7 @@ def make_train_step(
 def make_eval_step(
     task: SegmentationTask,
     precision: PrecisionPolicy,
+    mesh=None,
 ) -> Callable[[TrainState, dict], dict]:
     """Build the jitted eval step: loss + confusion-matrix contribution.
 
@@ -139,6 +150,10 @@ def make_eval_step(
     n = task.eval_classes
 
     def eval_step(state: TrainState, batch: dict):
+        with use_compute_mesh(mesh):
+            return _eval_step(state, batch)
+
+    def _eval_step(state: TrainState, batch: dict):
         image = _prepare_image(batch, precision)
         variables = {"params": state.params}
         if state.batch_stats:
@@ -164,8 +179,12 @@ def make_eval_step(
     return jax.jit(eval_step)
 
 
-def make_predict_step(task: SegmentationTask, precision: PrecisionPolicy):
+def make_predict_step(task: SegmentationTask, precision: PrecisionPolicy, mesh=None):
     def predict_step(state: TrainState, batch: dict):
+        with use_compute_mesh(mesh):
+            return _predict_step(state, batch)
+
+    def _predict_step(state: TrainState, batch: dict):
         image = _prepare_image(batch, precision)
         variables = {"params": state.params}
         if state.batch_stats:
