@@ -260,6 +260,64 @@ class _ProjParams(nn.Module):
         return kernel, bias
 
 
+class _OutParams(nn.Module):
+    """Parameter shell matching ``nn.DenseGeneral(features=D, axis=(-2,-1))``:
+    ``kernel`` [H, hd, D] + ``bias`` [D] under this module's scope; the
+    caller executes the GEMM (optionally with LayerScale folded in)."""
+
+    heads: int
+    head_dim: int
+    d: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal", in_axis=(0, 1), out_axis=2
+            ),
+            (self.heads, self.head_dim, self.d),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.d,), self.param_dtype
+        )
+        return kernel, bias
+
+
+class _ScaledDense(nn.Module):
+    """``nn.Dense`` twin (same ``kernel``/``bias`` param paths) that can
+    fold a LayerScale gamma into the weight: x@(W*g) + b*g == (x@W + b)*g
+    exactly, keeping the elementwise multiply (and its big backward
+    reduction) weight-sized instead of activation-sized."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, scale: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        if scale is not None:
+            kernel = kernel * scale
+            bias = bias * scale
+        return x.astype(self.dtype) @ kernel.astype(self.dtype) + bias.astype(
+            self.dtype
+        )
+
+
 class FusedSelfAttention(nn.Module):
     """Self-attention with the Pallas fused kernel on the score path.
 
@@ -275,7 +333,9 @@ class FusedSelfAttention(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, out_scale: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
         from geo_deep_learning_tpu.ops.pallas.mha import fused_attention
 
         d = x.shape[-1]
@@ -306,13 +366,24 @@ class FusedSelfAttention(nn.Module):
             v.transpose(0, 2, 1, 3),
             scale=1.0 / float(np.sqrt(hd)),
         ).transpose(0, 2, 1, 3)
-        return nn.DenseGeneral(
-            features=d,
-            axis=(-2, -1),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="out",
-        )(o)
+        # out projection under DenseGeneral's exact param paths
+        # (out/kernel [H, hd, D] + out/bias [D]); ``out_scale`` folds the
+        # caller's LayerScale gamma into the WEIGHT — (o@W + b)*g ==
+        # o@(W*g) + b*g exactly, which moves the elementwise multiply and
+        # its [B, L, D]-sized backward reduction off the activation path
+        # (profiled at ~14 ms/step of multiply_reduce fusions at bs16)
+        ok, ob = _OutParams(
+            self.num_heads, hd, d, self.param_dtype, name="out"
+        )()
+        if out_scale is not None:
+            ok = ok * out_scale
+            ob = ob * out_scale
+        y = jax.lax.dot_general(
+            o.reshape(bsz, ln, d).astype(self.dtype),
+            ok.reshape(d, d).astype(self.dtype),
+            (((2,), (0,)), ((), ())),
+        )
+        return y + ob.astype(self.dtype)
 
 
 class ViTBlock(nn.Module):
@@ -329,6 +400,19 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = x.shape[-1]
+        # LayerScale gammas are FOLDED into the adjacent projection
+        # weights ((x@W + b)*g == x@(W*g) + b*g, exact): the per-token
+        # [B, L, D] multiply and its backward sum-over-tokens reduction
+        # become weight-sized, and the residual stream stays in compute
+        # dtype instead of being promoted to f32 by the gamma multiply.
+        # DropPath commutes with the fold (it scales by a per-sample
+        # mask, so DropPath(y*g) == DropPath(y)*g for the same rng).
+        ls1 = self.param(
+            "ls1_gamma",
+            nn.initializers.constant(self.init_values),
+            (d,),
+            self.param_dtype,
+        )
         y = nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1"
         )(x)
@@ -337,14 +421,8 @@ class ViTBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
-        )(y)
-        ls1 = self.param(
-            "ls1_gamma",
-            nn.initializers.constant(self.init_values),
-            (d,),
-            self.param_dtype,
-        )
-        x = x + DropPath(self.drop_path, name="dp1")(y * ls1, train=train)
+        )(y, out_scale=ls1)
+        x = x + DropPath(self.drop_path, name="dp1")(y, train=train)
         y = nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2"
         )(x)
@@ -354,16 +432,16 @@ class ViTBlock(nn.Module):
         )(y)
         y = nn.gelu(y)
         y = nn.Dropout(self.drop, deterministic=not train)(y)
-        y = nn.Dense(
-            d, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_fc2"
-        )(y)
         ls2 = self.param(
             "ls2_gamma",
             nn.initializers.constant(self.init_values),
             (d,),
             self.param_dtype,
         )
-        return x + DropPath(self.drop_path, name="dp2")(y * ls2, train=train)
+        y = _ScaledDense(
+            d, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_fc2"
+        )(y, scale=ls2)
+        return x + DropPath(self.drop_path, name="dp2")(y, train=train)
 
 
 @dataclass(frozen=True)
