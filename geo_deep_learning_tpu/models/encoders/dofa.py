@@ -336,7 +336,7 @@ class FusedSelfAttention(nn.Module):
     def __call__(
         self, x: jnp.ndarray, out_scale: jnp.ndarray | None = None
     ) -> jnp.ndarray:
-        from geo_deep_learning_tpu.ops.pallas.mha import fused_attention
+        from geo_deep_learning_tpu.ops.pallas.mha import fused_attention_packed
 
         d = x.shape[-1]
         hd = d // self.num_heads
@@ -356,16 +356,12 @@ class FusedSelfAttention(nn.Module):
         b = jnp.concatenate([p[1].reshape(d) for p in ps]).astype(self.dtype)
         qkv = x.astype(self.dtype) @ w + b  # [B, L, 3D]
         bsz, ln, _ = qkv.shape
-        q, k, v = (
-            t.reshape(bsz, ln, self.num_heads, hd)
-            for t in jnp.split(qkv, 3, axis=-1)
-        )
-        o = fused_attention(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            scale=1.0 / float(np.sqrt(hd)),
-        ).transpose(0, 2, 1, 3)
+        # the kernel consumes the packed GEMM output directly (per-head
+        # slices via BlockSpec column maps) — no [B,L,H,hd]->[B,H,L,hd]
+        # transposes or tile pads ever hit HBM
+        o = fused_attention_packed(
+            qkv, self.num_heads, scale=1.0 / float(np.sqrt(hd))
+        )  # [B, L, D]
         # out projection under DenseGeneral's exact param paths
         # (out/kernel [H, hd, D] + out/bias [D]); ``out_scale`` folds the
         # caller's LayerScale gamma into the WEIGHT — (o@W + b)*g ==
@@ -379,7 +375,7 @@ class FusedSelfAttention(nn.Module):
             ok = ok * out_scale
             ob = ob * out_scale
         y = jax.lax.dot_general(
-            o.reshape(bsz, ln, d).astype(self.dtype),
+            o.astype(self.dtype),
             ok.reshape(d, d).astype(self.dtype),
             (((2,), (0,)), ((), ())),
         )

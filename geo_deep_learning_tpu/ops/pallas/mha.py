@@ -226,6 +226,289 @@ def _attention_bwd(scale, valid, res, g):
 _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
+# --- packed token-major variant ---------------------------------------------
+#
+# The head-major entry point above takes q/k/v as [B, H, L, D], which the
+# caller must produce with three [B, L, H, hd] -> [B, H, L, hd] transposes
+# plus pads to the 256-row tile granularity — profiled at ~13-19 ms/step of
+# pure layout copies around the custom calls at DOFA bs16. This variant
+# consumes the QKV projection's NATURAL output — one packed [B, L, 3·H·hd]
+# tensor — directly: per-GROUP [L, 128] column slices are expressed as
+# BlockSpec column index maps (strided DMA folded into the kernel's own
+# operand fetch; Mosaic requires the block's lane dim to be a multiple of
+# 128, so ``pair = 128/hd`` heads ride in one block and are split by
+# static lane slices in-kernel), and ragged lengths are handled with a
+# static tile list (the edge tile is simply smaller), so NO transpose and
+# NO pad ever materializes in HBM in either direction.
+
+
+def _fwd_kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, l, hd, pair
+):
+    # VMEM-stack discipline: a fully unrolled (head, tile) loop keeps
+    # every chain's [TQ, L] f32 score buffer live at once and blows the
+    # 16M scoped-vmem limit (measured: 17.9M at DOFA-base shapes). A
+    # fori_loop body's stack is reused across iterations, so the loop
+    # runs over FULL tiles with the ``pair`` head-chains interleaved
+    # inside each body (independent chains -> MXU/VPU overlap), and the
+    # ragged edge tile is a small straight-line epilogue.
+    def chain(j, sl, size):
+        cs = slice(j * hd, (j + 1) * hd)
+        k = k_ref[0, :, cs]  # [L, hd] bf16
+        v = v_ref[0, :, cs]
+        q = q_ref[0, sl, cs]  # [size, hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [size, L] f32 — L exact, no padded columns to mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
+        o_ref[0, sl, cs] = o.astype(o_ref.dtype)
+        lse_ref[0, j, sl] = jnp.broadcast_to(m + jnp.log(denom), (size, 8))
+
+    def body(i, carry):
+        sl = pl.ds(i * _TQ, _TQ)
+        for j in range(pair):
+            chain(j, sl, _TQ)
+        return carry
+
+    n_full, edge = divmod(l, _TQ)
+    jax.lax.fori_loop(0, n_full, body, 0)
+    if edge:
+        for j in range(pair):
+            chain(j, pl.ds(n_full * _TQ, edge), edge)
+
+
+def _bwd_kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, l, hd, pair,
+):
+    # Same fori-loop stack discipline as _fwd_kernel_packed; dk/dv
+    # accumulators ride the loop carry. 128-row tiles keep the working
+    # set (4 score-sized buffers x pair chains) under the vmem cap.
+    tqb = 128
+
+    def chain(j, sl, size, dk, dv):
+        cs = slice(j * hd, (j + 1) * hd)
+        k = k_ref[0, :, cs]  # [L, hd] bf16
+        v = v_ref[0, :, cs]
+        q = q_ref[0, sl, cs]
+        g = g_ref[0, sl, cs]
+        o = o_ref[0, sl, cs]
+        lse = lse_ref[0, j, sl, 0]  # [size]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse[:, None])  # [size, L] f32
+        pb = p.astype(k.dtype)
+        dv = dv + jax.lax.dot_general(
+            pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(
+            g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+        )
+        ds = (p * (dp - delta)).astype(k.dtype)
+        dq_ref[0, sl, cs] = (
+            jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        ).astype(dq_ref.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        return dk, dv
+
+    zero = lambda: jnp.zeros((l, hd), jnp.float32)
+    carry0 = tuple(zero() for _ in range(2 * pair))
+
+    def body(i, carry):
+        sl = pl.ds(i * tqb, tqb)
+        out = []
+        for j in range(pair):
+            dk, dv = chain(j, sl, tqb, carry[2 * j], carry[2 * j + 1])
+            out += [dk, dv]
+        return tuple(out)
+
+    n_full, edge = divmod(l, tqb)
+    carry = jax.lax.fori_loop(0, n_full, body, carry0)
+    acc = list(carry)
+    if edge:
+        sl = pl.ds(n_full * tqb, edge)
+        for j in range(pair):
+            acc[2 * j], acc[2 * j + 1] = chain(
+                j, sl, edge, acc[2 * j], acc[2 * j + 1]
+            )
+    for j in range(pair):
+        cs = slice(j * hd, (j + 1) * hd)
+        dk_ref[0, :, cs] = acc[2 * j].astype(dk_ref.dtype)
+        dv_ref[0, :, cs] = acc[2 * j + 1].astype(dv_ref.dtype)
+
+
+def _pair(hd: int) -> int:
+    """Heads per block so the lane dim is a 128 multiple (Mosaic rule)."""
+    return max(1, 128 // hd)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "scale"))
+def _fwd_packed(qkv, h, scale):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // h
+    pair = _pair(hd)
+    groups = h // pair
+    chunk = lambda off: pl.BlockSpec(  # [L, pair*hd] column slice
+        (1, l, pair * hd), lambda bi, gi, _o=off: (bi, 0, _o + gi),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_packed, scale=scale, l=l, hd=hd, pair=pair
+        ),
+        grid=(b, groups),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        in_specs=[chunk(0), chunk(groups), chunk(2 * groups)],
+        out_specs=(
+            chunk(0),
+            pl.BlockSpec(
+                (1, pair, l, 8), lambda bi, gi: (bi, gi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, h, l, 8), jnp.float32),
+        ),
+    )(qkv, qkv, qkv)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "scale"))
+def _bwd_packed(qkv, o, g, lse, h, scale):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // h
+    pair = _pair(hd)
+    groups = h // pair
+    chunk = lambda off: pl.BlockSpec(
+        (1, l, pair * hd), lambda bi, gi, _o=off: (bi, 0, _o + gi),
+        memory_space=pltpu.VMEM,
+    )
+    lse_spec = pl.BlockSpec(
+        (1, pair, l, 8), lambda bi, gi: (bi, gi, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_packed, scale=scale, l=l, hd=hd, pair=pair
+        ),
+        grid=(b, groups),
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        in_specs=[
+            chunk(0), chunk(groups), chunk(2 * groups),
+            chunk(0), chunk(0), lse_spec,
+        ],
+        out_specs=(chunk(0), chunk(0), chunk(0)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
+        ),
+    )(qkv, qkv, qkv, o, g, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _attention_packed(qkv, h, scale):
+    o, _ = _fwd_packed(qkv, h, scale)
+    return o
+
+
+def _attention_packed_fwd(qkv, h, scale):
+    o, lse = _fwd_packed(qkv, h, scale)
+    return o, (qkv, o, lse)
+
+
+def _attention_packed_bwd(h, scale, res, g):
+    qkv, o, lse = res
+    dq, dk, dv = _bwd_packed(qkv, o, g, lse, h, scale)
+    # dqkv column order = [q heads | k heads | v heads] — exactly the
+    # packing order, so one concat feeds the QKV GEMM's backward.
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+_attention_packed.defvjp(_attention_packed_fwd, _attention_packed_bwd)
+
+
+def _packed_supported(h: int, l: int, hd: int) -> bool:
+    if 128 % hd != 0 or h % _pair(hd) != 0:
+        return False  # blocks must tile the lane dim in 128-multiples
+    # bwd VMEM per program (pair heads per block, x2 for Mosaic's block
+    # double-buffering): q/k/v/o/g/dq bf16 + dk/dv f32 at [L, pair*hd]
+    # + s/p/dp/ds [TQ, L] working tiles (bound by 4xf32)
+    blk = l * _pair(hd) * hd
+    vmem = 2 * (6 * 2 + 2 * 4) * blk + 4 * 4 * _TQ * l
+    if vmem > 14 * 1024 * 1024:
+        return False
+    from geo_deep_learning_tpu.core.mesh import compute_mesh
+
+    mesh = compute_mesh()
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # tensor-parallel runs shard HEADS over the model axis — the
+        # head-major path's shard_map handles that; the packed column
+        # layout does not split cleanly over model.
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def fused_attention_packed(
+    qkv: jnp.ndarray, num_heads: int, scale: float
+) -> jnp.ndarray:
+    """Attention over a packed [B, L, 3·H·hd] QKV tensor -> [B, L, H·hd].
+
+    Column layout is the natural fused-GEMM output: all of q's heads,
+    then k's, then v's. On TPU the kernel reads per-head slices straight
+    from this layout (no transpose/pad materialization); elsewhere, or
+    under a model-sharded mesh, it falls back to the head-major path with
+    identical numerics.
+    """
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    if not _packed_supported(num_heads, l, hd):
+        q, k, v = (
+            t.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
+            for t in jnp.split(qkv, 3, axis=-1)
+        )
+        o = fused_attention(q, k, v, scale)
+        return o.transpose(0, 2, 1, 3).reshape(b, l, d)
+    from jax.sharding import PartitionSpec as P
+
+    from geo_deep_learning_tpu.ops.pallas.spmd import maybe_shard_map
+
+    spec = P("data", None, None)
+    return maybe_shard_map(
+        lambda t: _attention_packed(t, num_heads, scale), (qkv,), (spec,), spec
+    )
+
+
 def _einsum_attention(q, k, v, scale):
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

@@ -60,6 +60,51 @@ def test_backward_matches_autodiff():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
 
+@pytest.mark.parametrize("l", [1297, 512])
+def test_packed_forward_matches_einsum(l):
+    """Token-major packed [B, L, 3D] kernel vs the head-major einsum."""
+    b, h, hd = 2, 4, 32  # pair=4 -> one 128-lane group
+    d = h * hd
+    assert h % mha._pair(hd) == 0
+    qkv = _rand((b, l, 3 * d), 7)
+    scale = 1.0 / np.sqrt(hd)
+    got = mha._attention_packed(qkv, h, scale)
+    q, k, v = (
+        t.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        for t in jnp.split(qkv, 3, axis=-1)
+    )
+    ref = (
+        mha._einsum_attention(q, k, v, scale)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, l, d)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_backward_matches_autodiff():
+    b, h, l, hd = 1, 8, 300, 16  # pair=8 -> one 128-lane group
+    d = h * hd
+    assert h % mha._pair(hd) == 0
+    qkv = _rand((b, l, 3 * d), 11)
+    g = _rand((b, l, d), 12)
+    scale = 1.0 / np.sqrt(hd)
+
+    def loss_kernel(t):
+        return (mha._attention_packed(t, h, scale) * g).sum()
+
+    def loss_ref(t):
+        q, k, v = (
+            u.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+            for u in jnp.split(t, 3, axis=-1)
+        )
+        o = mha._einsum_attention(q, k, v, scale)
+        return (o.transpose(0, 2, 1, 3).reshape(b, l, d) * g).sum()
+
+    gk = jax.grad(loss_kernel)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-4)
+
+
 def test_padded_columns_receive_zero_gradient():
     """Gradients flowing to the PAD region of k/v must be exactly zero —
     the masking keeps padded keys out of the softmax entirely."""
