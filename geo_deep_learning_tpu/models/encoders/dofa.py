@@ -382,6 +382,61 @@ class FusedSelfAttention(nn.Module):
         return y + ob.astype(self.dtype)
 
 
+class FusedLayerNorm(nn.Module):
+    """``nn.LayerNorm`` twin (same ``scale``/``bias`` param paths) backed
+    by the Pallas fused kernel (ops/pallas/layernorm.py) on TPU: lane
+    reductions run as MXU matvecs and the backward emits dx + dgamma/
+    dbeta partials in one pass. Off-TPU it is the identical-math XLA
+    composition (f32 stats, fast-variance), keeping golden parity."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from geo_deep_learning_tpu.ops.pallas.layernorm import fused_layernorm
+
+        d = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (d,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (d,), self.param_dtype
+        )
+        y = fused_layernorm(x, scale, bias, self.epsilon)
+        return y.astype(self.dtype)
+
+
+class FusedLayerNormResidual(nn.Module):
+    """``s = x + branch; y = LayerNorm(s)`` with the add fused into the
+    LN kernel (and its gradient fan-in fused into the LN backward) —
+    recovers the elementwise fusion XLA loses at custom-call boundaries.
+    Same ``scale``/``bias`` param paths as ``nn.LayerNorm``."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, branch: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        from geo_deep_learning_tpu.ops.pallas.layernorm import (
+            fused_layernorm_residual,
+        )
+
+        d = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (d,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (d,), self.param_dtype
+        )
+        s, y = fused_layernorm_residual(x, branch, scale, bias, self.epsilon)
+        return s, y.astype(self.dtype)
+
+
 class ViTBlock(nn.Module):
     """timm ViT block with LayerScale (``init_values``), qkv_bias=True."""
 
@@ -394,7 +449,19 @@ class ViTBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pending: jnp.ndarray | None = None,
+        train: bool = False,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Residual-lazy block: takes the residual stream ``x`` plus the
+        previous block's not-yet-added branch ``pending``, and returns
+        ``(s, branch)`` where the true post-block stream is ``s + branch``.
+        Deferring each add lets it fuse into the NEXT LayerNorm kernel
+        (FusedLayerNormResidual) instead of running as its own HBM pass.
+        The caller materializes ``s + branch`` only where the raw stream
+        is needed (feature taps)."""
         d = x.shape[-1]
         # LayerScale gammas are FOLDED into the adjacent projection
         # weights ((x@W + b)*g == x@(W*g) + b*g, exact): the per-token
@@ -409,19 +476,28 @@ class ViTBlock(nn.Module):
             (d,),
             self.param_dtype,
         )
-        y = nn.LayerNorm(
-            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1"
-        )(x)
+        if pending is None:
+            s1 = x
+            y = FusedLayerNorm(
+                epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="norm1",
+            )(x)
+        else:
+            s1, y = FusedLayerNormResidual(
+                epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="norm1",
+            )(x, pending)
         y = FusedSelfAttention(
             num_heads=self.num_heads,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
         )(y, out_scale=ls1)
-        x = x + DropPath(self.drop_path, name="dp1")(y, train=train)
-        y = nn.LayerNorm(
-            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2"
-        )(x)
+        a = DropPath(self.drop_path, name="dp1")(y, train=train)
+        s2, y = FusedLayerNormResidual(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm2",
+        )(s1, a)
         y = nn.Dense(
             int(d * self.mlp_ratio), dtype=self.dtype, param_dtype=self.param_dtype,
             name="mlp_fc1",
@@ -437,7 +513,7 @@ class ViTBlock(nn.Module):
         y = _ScaledDense(
             d, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_fc2"
         )(y, scale=ls2)
-        return x + DropPath(self.drop_path, name="dp2")(y, train=train)
+        return s2, DropPath(self.drop_path, name="dp2")(y, train=train)
 
 
 @dataclass(frozen=True)
@@ -509,11 +585,17 @@ class DOFAv2(nn.Module):
         seq = nn.Dropout(self.drop_rate, deterministic=not train)(seq)
         dpr = np.linspace(0.0, self.drop_path_rate, cfg.depth)
         block_cls = (
-            nn.remat(ViTBlock, static_argnums=(2,)) if self.remat else ViTBlock
+            nn.remat(ViTBlock, static_argnums=(3,)) if self.remat else ViTBlock
         )
         features = []
+        # residual-lazy threading: each block returns (stream, branch) with
+        # the add deferred so it fuses into the next block's LN kernel; the
+        # sum is materialized only at TAP blocks, where the raw stream is
+        # consumed (and the next block then starts with pending=None, so
+        # nothing is computed twice)
+        pending = None
         for i in range(cfg.depth):
-            seq = block_cls(
+            seq, pending = block_cls(
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 init_values=cfg.init_values,
@@ -522,9 +604,13 @@ class DOFAv2(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"block{i}",
-            )(seq, train)
+            )(seq, pending, train)
             if i in taps:
+                seq = seq + pending
+                pending = None
                 features.append(seq[:, 1:, :].reshape(b, gh, gw, d))
+        if pending is not None:
+            seq = seq + pending
         # `norm` exists for checkpoint parity but is not applied to taps
         # (matches the reference's unreachable final-norm branch, :482-487)
         nn.LayerNorm(

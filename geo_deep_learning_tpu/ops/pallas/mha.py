@@ -31,6 +31,10 @@ _TQ = 256   # query rows per fwd grid step (also the pad granularity).
             # (5.17 vs 5.65 ms fwd+bwd) — the larger tile's extra MXU/VPU
             # overlap outweighs the extra padding (1536 vs 1408).
 _TQB = 256  # query rows per bwd inner tile (keeps bwd under the VMEM cap)
+_TQB_PACKED = 256  # bwd tile rows for the packed kernel (on-chip A/B:
+                   # 3.49 vs 3.58 ms/call at 128 — fits the vmem cap
+                   # with the fori-loop stack discipline)
+_BWD_UNROLL = 1    # fori unroll factor for the packed bwd tile loop
 _NEG = -1e30
 _INTERPRET = False  # set True (tests) to run the kernels in pallas
                     # interpreter mode on CPU — validates kernel logic
@@ -290,7 +294,7 @@ def _bwd_kernel_packed(
     # Same fori-loop stack discipline as _fwd_kernel_packed; dk/dv
     # accumulators ride the loop carry. 128-row tiles keep the working
     # set (4 score-sized buffers x pair chains) under the vmem cap.
-    tqb = 128
+    tqb = _TQB_PACKED
 
     def chain(j, sl, size, dk, dv):
         cs = slice(j * hd, (j + 1) * hd)
@@ -338,7 +342,7 @@ def _bwd_kernel_packed(
         return tuple(out)
 
     n_full, edge = divmod(l, tqb)
-    carry = jax.lax.fori_loop(0, n_full, body, carry0)
+    carry = jax.lax.fori_loop(0, n_full, body, carry0, unroll=_BWD_UNROLL)
     acc = list(carry)
     if edge:
         sl = pl.ds(n_full * tqb, edge)

@@ -74,25 +74,31 @@ def maybe_shard_map(
     fn: Callable,
     args: Sequence[jax.Array],
     in_specs: Sequence[P],
-    out_spec: P,
+    out_spec: P | tuple[P, ...],
 ):
     """Run ``fn(*args)`` per-device over the ambient compute mesh.
 
     ``in_specs``/``out_spec`` name the INTENDED mapping (e.g.
     ``P("data", "model")`` over [B, H, L, D]); axes that don't divide or
-    aren't active are pruned. Returns ``fn(*args)`` unwrapped when no
-    multi-device mesh is ambient — the single-chip hot path pays nothing.
+    aren't active are pruned. ``out_spec`` may be a tuple for multi-output
+    kernels. Returns ``fn(*args)`` unwrapped when no multi-device mesh is
+    ambient — the single-chip hot path pays nothing.
     """
     mesh = compute_mesh()
     if mesh is None or mesh.size == 1:
         return fn(*args)
-    pruned = _prune_specs(mesh, args, list(in_specs) + [out_spec])
+    outs = list(out_spec) if isinstance(out_spec, tuple) else [out_spec]
+    pruned = _prune_specs(mesh, args, list(in_specs) + outs)
     if pruned is None:
         return fn(*args)
+    n_in = len(in_specs)
+    out_pruned = (
+        tuple(pruned[n_in:]) if isinstance(out_spec, tuple) else pruned[n_in]
+    )
     return _shard_map(
         fn,
         mesh=mesh,
-        in_specs=tuple(pruned[:-1]),
-        out_specs=pruned[-1],
+        in_specs=tuple(pruned[:n_in]),
+        out_specs=out_pruned,
         check_vma=False,
     )(*args)

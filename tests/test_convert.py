@@ -350,7 +350,9 @@ def test_dofa_vit_block_conversion_parity():
     x = np.random.default_rng(6).normal(size=(2, 10, dim)).astype(np.float32)
     init = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
     assert jax.tree_util.tree_structure(init["params"]) == jax.tree_util.tree_structure(block_params)
-    ours = m.apply({"params": block_params}, jnp.asarray(x), train=False)
+    # blocks are residual-lazy: the true post-block stream is s + branch
+    s, br = m.apply({"params": block_params}, jnp.asarray(x), train=False)
+    ours = s + br
     with torch.no_grad():
         theirs = ref(torch.tensor(x))
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=ATOL)
