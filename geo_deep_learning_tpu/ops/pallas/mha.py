@@ -31,10 +31,16 @@ _TQ = 256   # query rows per fwd grid step (also the pad granularity).
             # (5.17 vs 5.65 ms fwd+bwd) — the larger tile's extra MXU/VPU
             # overlap outweighs the extra padding (1536 vs 1408).
 _TQB = 256  # query rows per bwd inner tile (keeps bwd under the VMEM cap)
-_TQB_PACKED = 256  # bwd tile rows for the packed kernel (on-chip A/B:
-                   # 3.49 vs 3.58 ms/call at 128 — fits the vmem cap
-                   # with the fori-loop stack discipline)
-_BWD_UNROLL = 1    # fori unroll factor for the packed bwd tile loop
+_TQB_PACKED = 128  # bwd tile rows for the packed kernel
+_BWD_UNROLL = True  # fully unroll the packed bwd tile loop: Mosaic only
+                    # supports unroll=1 or full, and full unroll at
+                    # 128-row tiles overlaps chains across iterations —
+                    # on-chip A/B: 2.71 (128/full) vs 3.49 (256/serial)
+                    # vs 3.58 (128/serial) ms/call; 256/full fails to
+                    # compile (vmem stack)
+_TQ_PACKED = 256    # fwd tile rows for the packed kernel
+_FWD_UNROLL = 1     # fwd loop unroll (full unroll at 256 rows blew the
+                    # 16M scoped-vmem stack; see kernel docstring)
 _NEG = -1e30
 _INTERPRET = False  # set True (tests) to run the kernels in pallas
                     # interpreter mode on CPU — validates kernel logic
@@ -274,17 +280,20 @@ def _fwd_kernel_packed(
         o_ref[0, sl, cs] = o.astype(o_ref.dtype)
         lse_ref[0, j, sl] = jnp.broadcast_to(m + jnp.log(denom), (size, 8))
 
+    tq = _TQ_PACKED
+
     def body(i, carry):
-        sl = pl.ds(i * _TQ, _TQ)
+        sl = pl.ds(i * tq, tq)
         for j in range(pair):
-            chain(j, sl, _TQ)
+            chain(j, sl, tq)
         return carry
 
-    n_full, edge = divmod(l, _TQ)
-    jax.lax.fori_loop(0, n_full, body, 0)
+    n_full, edge = divmod(l, tq)
+    unroll = n_full if _FWD_UNROLL is True else _FWD_UNROLL
+    jax.lax.fori_loop(0, n_full, body, 0, unroll=unroll)
     if edge:
         for j in range(pair):
-            chain(j, pl.ds(n_full * _TQ, edge), edge)
+            chain(j, pl.ds(n_full * tq, edge), edge)
 
 
 def _bwd_kernel_packed(
@@ -342,7 +351,8 @@ def _bwd_kernel_packed(
         return tuple(out)
 
     n_full, edge = divmod(l, tqb)
-    carry = jax.lax.fori_loop(0, n_full, body, carry0, unroll=_BWD_UNROLL)
+    unroll = n_full if _BWD_UNROLL is True else _BWD_UNROLL
+    carry = jax.lax.fori_loop(0, n_full, body, carry0, unroll=unroll)
     acc = list(carry)
     if edge:
         sl = pl.ds(n_full * tqb, edge)
