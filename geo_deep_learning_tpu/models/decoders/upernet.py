@@ -12,11 +12,94 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from geo_deep_learning_tpu.models.layers import ConvModule, PPM
+from geo_deep_learning_tpu.ops.fused_upconv import resize_conv3x3_factored
 from geo_deep_learning_tpu.ops.resize import resize
+
+
+class _ConvKernel(nn.Module):
+    """Bare ``kernel`` param in its own scope (mirrors ``nn.Conv``'s
+    param path/init so the split-fused bottleneck is checkpoint-identical
+    to the ConvModule it replaces)."""
+
+    shape: tuple[int, ...]
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, self.param_dtype
+        )
+
+
+class _FusedBottleneck(nn.Module):
+    """ConvModule twin (3x3 conv + BN + ReLU, param tree identical to
+    ``ConvModule(channels, (3,3))``) for ``conv3x3(concat(parts resized
+    to target))``: the conv of a concat is the SUM of per-part convs, and
+    each upsampled part's conv runs through
+    ``ops.fused_upconv.resize_conv3x3_factored`` so its channel GEMM
+    executes at SOURCE resolution (ratio^2 x fewer positions) and the
+    resized intermediates never exist. Exact same math as resize + concat
+    + conv (up to f32 reassociation); checkpoints/converters see one
+    ordinary ``conv/kernel`` over the concatenated channels.
+
+    Reference composition: ``models/decoders/upernet.py:128-152``.
+    """
+
+    features: int
+    align_corners: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        parts: Sequence[jnp.ndarray],
+        target_hw: tuple[int, int],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cin = sum(p.shape[-1] for p in parts)
+        # ConvModule stores the kernel under "{name}/conv/kernel"; declare
+        # it inside a child scope "conv" for checkpoint compatibility
+        kernel = _ConvKernel(
+            (3, 3, cin, self.features), self.param_dtype, name="conv"
+        )()
+        k = kernel.astype(self.dtype)
+        total = None
+        off = 0
+        for p in parts:
+            ksl = k[:, :, off : off + p.shape[-1]]
+            off += p.shape[-1]
+            if tuple(p.shape[1:3]) == tuple(target_hw):
+                y = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype),
+                    ksl,
+                    (1, 1),
+                    "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            else:
+                y = resize_conv3x3_factored(
+                    p.astype(self.dtype),
+                    ksl,
+                    None,
+                    tuple(target_hw),
+                    self.align_corners,
+                )
+            total = y if total is None else total + y
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(total)
+        return nn.relu(x)
 
 
 class UperNetDecoder(nn.Module):
@@ -24,6 +107,7 @@ class UperNetDecoder(nn.Module):
     channels: int = 256
     align_corners: bool = True
     scale_modules: bool = False
+    fuse_bottleneck: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -110,6 +194,14 @@ class UperNetDecoder(nn.Module):
         ]
         fpn_outs.append(laterals[-1])
         target_hw = fpn_outs[0].shape[1:3]
+        if self.fuse_bottleneck:
+            return _FusedBottleneck(
+                self.channels,
+                align_corners=self.align_corners,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="fpn_bottleneck",
+            )(fpn_outs, tuple(target_hw), train=train)
         for i in range(n - 1, 0, -1):
             fpn_outs[i] = resize(
                 fpn_outs[i],

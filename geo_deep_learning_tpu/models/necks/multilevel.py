@@ -13,18 +13,21 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from geo_deep_learning_tpu.ops.fused_upconv import up4_conv3x3
+from geo_deep_learning_tpu.ops.fused_upconv import resize_conv3x3_factored
 from geo_deep_learning_tpu.ops.resize import resize
 
 
 class _FusedUp4Conv(nn.Module):
     """Param-compatible stand-in for ``nn.Conv(features, (3,3))`` preceded
-    by a 4x bilinear resize: declares exactly nn.Conv's parameters, but
-    executes the exact composite via ``ops.fused_upconv.up4_conv3x3``
-    (1.44x fewer FLOPs, no 144^2 intermediate). Checkpoints and torch
-    converters see an ordinary conv."""
+    by a ``scale``x bilinear resize: declares exactly nn.Conv's parameters,
+    but executes the exact composite via
+    ``ops.fused_upconv.resize_conv3x3_factored`` (the channel GEMM runs at
+    source resolution — scale^2 x fewer positions — and the upsampled
+    pre-conv intermediate never exists). Checkpoints and torch converters
+    see an ordinary conv."""
 
     features: int
+    scale: int = 4
     use_bias: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -45,7 +48,8 @@ class _FusedUp4Conv(nn.Module):
             if self.use_bias
             else None
         )
-        return up4_conv3x3(x.astype(self.dtype), kernel, bias)
+        out_hw = (self.scale * x.shape[1], self.scale * x.shape[2])
+        return resize_conv3x3_factored(x.astype(self.dtype), kernel, bias, out_hw)
 
 
 class MultiLevelNeck(nn.Module):
@@ -53,10 +57,11 @@ class MultiLevelNeck(nn.Module):
     DOFA assembly uses (reference models/segmentation/dofa.py:56-62 passes
     ``norm_cfg={"type": "BN"}, act_cfg={"type": "ReLU"}``).
 
-    ``fuse_scale4`` (default on) executes the scale-4 branch's
-    resize+conv as one fractionally-strided conv (ops/fused_upconv.py) —
-    exact same math and param tree; the profile showed this branch's 3x3
-    conv at 144^2 to be the single most expensive op chain in DOFA."""
+    ``fuse_scale4`` (default on) executes every integer-upscale branch's
+    resize+conv as the exact factored form (ops/fused_upconv.py:
+    source-resolution channel GEMM + shifted-interp matmuls) — same math
+    and param tree; the device profile showed the scale-4 and scale-2
+    branches at 56.7 + 14.2 ms/step of DOFA's 270 ms train step."""
 
     out_channels: Sequence[int]
     scales: Sequence[float] = (0.5, 1, 2, 4)
@@ -102,8 +107,12 @@ class MultiLevelNeck(nn.Module):
         outs = []
         for i, scale in enumerate(self.scales):
             x = laterals[i]
-            if scale == 4 and self.fuse_scale4:
-                outs.append(self._fused4(self.out_channels[i], f"conv{i}", x, train))
+            if scale in (2, 4) and self.fuse_scale4:
+                outs.append(
+                    self._fused4(
+                        self.out_channels[i], f"conv{i}", x, train, int(scale)
+                    )
+                )
                 continue
             if scale != 1:
                 x = resize(x, scale_factor=float(scale), method="bilinear")
@@ -111,7 +120,7 @@ class MultiLevelNeck(nn.Module):
         return tuple(outs)
 
     def _fused4(
-        self, features: int, name: str, x: jnp.ndarray, train: bool
+        self, features: int, name: str, x: jnp.ndarray, train: bool, scale: int = 4
     ) -> jnp.ndarray:
         """Scale-4 branch with the same param paths as the unfused one:
         ``{name}/conv/kernel`` (+bias) and ``{name}/bn/*`` when norm is on,
@@ -119,6 +128,7 @@ class MultiLevelNeck(nn.Module):
         if not self.use_norm_act:
             return _FusedUp4Conv(
                 features,
+                scale=scale,
                 use_bias=True,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -129,6 +139,7 @@ class MultiLevelNeck(nn.Module):
         # "conv" and "bn" children
         return _FusedUpConvModule(
             features,
+            scale=scale,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,
@@ -140,6 +151,7 @@ class _FusedUpConvModule(nn.Module):
     identical param tree to ``ConvModule(use_bias=True)``."""
 
     features: int
+    scale: int = 4
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -147,6 +159,7 @@ class _FusedUpConvModule(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = _FusedUp4Conv(
             self.features,
+            scale=self.scale,
             use_bias=True,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

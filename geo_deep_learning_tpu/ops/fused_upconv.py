@@ -154,6 +154,106 @@ def _grouped_up4_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return stacked.transpose(0, 1, 3, 2, 4, 5).reshape(b, _R * h, _R * w, cout)
 
 
+def _interp_rows(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """[out, in] torch-bilinear row-interpolation matrix (f64).
+
+    Half-pixel (align_corners=False) or corner-aligned coordinates, with
+    torch's index clamping at the borders. Each row sums to 1.
+    """
+    m = np.zeros((out_size, in_size), np.float64)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    for f in range(out_size):
+        if align_corners:
+            src = f * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (f + 0.5) * in_size / out_size - 0.5
+        i = int(np.floor(src))
+        t = src - i
+        m[f, min(max(i, 0), in_size - 1)] += 1.0 - t
+        m[f, min(max(i + 1, 0), in_size - 1)] += t
+    return m
+
+
+@functools.lru_cache(maxsize=64)
+def _shifted_interp(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """[3, out, in] with A[k][p, m] = W[p+k-1, m] (rows with p+k-1 outside
+    [0, out) zeroed) — the per-axis operator of "bilinear resize then
+    zero-SAME 3x3 conv": tap k of the conv reads resized row p+k-1.
+    """
+    w = _interp_rows(out_size, in_size, align_corners)
+    a = np.zeros((3, out_size, in_size), np.float32)
+    for k in range(3):
+        lo = max(0, 1 - k)
+        hi = min(out_size, out_size + 1 - k)
+        a[k, lo:hi] = w[lo + k - 1 : hi + k - 1]
+    return a
+
+
+def resize_conv3x3_factored(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    out_hw: tuple[int, int] | None = None,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """``conv3x3_SAME(bilinear_resize(x, out_hw), kernel) + bias``, exactly,
+    as a channel GEMM at SOURCE resolution + shifted-interp matmuls.
+
+    Y[p,q] = sum_{k,l} K[k,l] U[p+k-1, q+l-1]   (U = resize(x), zero pad)
+           = sum_{k,l,m,n} A_h[k][p,m] A_w[l][q,n] (x K[k,l])[m,n]
+
+    so the only O(Cin*Cout) work is ``x @ K`` reshaped [Cin, 9*Cout] at
+    source resolution — where upsampling by R means R^2x fewer positions
+    than convolving the resized map (the composite kernel the direct
+    fusion uses cannot exploit the interp's separability; this
+    factorization can). The remaining two contractions are thin
+    [out, 3*in] interp matmuls. For the DOFA neck's scale-4 branch
+    (36->144, 768ch, bs16) this is 0.32 TF fwd vs 2.44 TF for the
+    phase-grouped composite and 3.52 TF for resize+conv — and the interp
+    weights (odd multiples of 1/(2R)) are exact in bf16.
+
+    Reference equivalent of the composition: resize then ConvModule in
+    ``/root/reference/geo_deep_learning/models/necks/multilevel_neck.py:139-160``
+    and the fuse conv in ``models/decoders/upernet.py:128-152``.
+
+    Args:
+        x: [B, H, W, Cin] source-resolution input.
+        kernel: [3, 3, Cin, Cout] HWIO conv weights.
+        bias: optional [Cout].
+        out_hw: resized spatial size (OH, OW); None means (H, W) (pure
+            3x3 conv, still exact — A_k become shifted identities).
+        align_corners: coordinate convention of the resize.
+
+    Returns:
+        [B, OH, OW, Cout], equal to the unfused composition up to f32/bf16
+        reassociation.
+    """
+    b, h, w, cin = x.shape
+    oh, ow = out_hw if out_hw is not None else (h, w)
+    ah = jnp.asarray(
+        _shifted_interp(oh, h, align_corners).transpose(1, 2, 0), x.dtype
+    )  # [p, h, k]
+    aw = jnp.asarray(
+        _shifted_interp(ow, w, align_corners).transpose(1, 0, 2), x.dtype
+    )  # [q, l, w]
+    # Every einsum's requested output order equals dot_general's NATURAL
+    # order (batch, lhs-free, rhs-free) with the contracting dims adjacent
+    # in both operands — so no reshape/transpose of the large intermediates
+    # is ever materialized (the first profiled version paid ~1 ms per
+    # non-natural order at DOFA shapes); only the final [p,q,b,d] ->
+    # [b,p,q,d] transpose of the output remains, fusable into consumers.
+    kt = jnp.swapaxes(kernel.astype(x.dtype), 0, 1)  # [l, k, cin, cout]
+    u = jnp.einsum("bhwc,lkcd->bhwlkd", x, kt)
+    v = jnp.einsum("qlw,bhwlkd->qbhkd", aw, u)  # contract (w, l)
+    y = jnp.einsum("phk,qbhkd->pqbd", ah, v)  # contract (h, k)
+    y = jnp.transpose(y, (2, 0, 1, 3))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def up4_conv3x3(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

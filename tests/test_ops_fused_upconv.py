@@ -75,3 +75,101 @@ def test_neck_fused_matches_unfused():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
+
+
+def _baseline_resize_conv(x, kernel, bias, out_hw, align_corners):
+    xu = resize(x, size=out_hw, method="bilinear", align_corners=align_corners)
+    y = jax.lax.conv_general_dilated(
+        xu, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y if bias is None else y + bias
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize(
+    "hw,out_hw",
+    [
+        ((9, 9), (36, 36)),   # 4x (DOFA neck scale-4)
+        ((9, 11), (18, 22)),  # 2x non-square
+        ((3, 3), (24, 24)),   # 8x (UperNet deepest level)
+        ((5, 7), (40, 56)),   # 8x non-square
+        ((7, 7), (7, 7)),     # ratio 1 degenerates to a plain conv
+        ((6, 5), (9, 10)),    # non-integer ratio still exact
+    ],
+)
+def test_factored_matches_resize_then_conv(hw, out_hw, align_corners):
+    from geo_deep_learning_tpu.ops.fused_upconv import resize_conv3x3_factored
+
+    h, w = hw
+    kx, kk, kb = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(kx, (2, h, w, 6), jnp.float32)
+    kernel = jax.random.normal(kk, (3, 3, 6, 4), jnp.float32)
+    bias = jax.random.normal(kb, (4,), jnp.float32)
+    ref = np.asarray(
+        jax.jit(
+            lambda *a: _baseline_resize_conv(*a, out_hw, align_corners)
+        )(x, kernel, bias)
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda *a: resize_conv3x3_factored(*a, out_hw, align_corners)
+        )(x, kernel, bias)
+    )
+    assert got.shape == (2, *out_hw, 4)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_factored_gradients_match():
+    from geo_deep_learning_tpu.ops.fused_upconv import resize_conv3x3_factored
+
+    kx, kk = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(kx, (1, 7, 9, 3), jnp.float32)
+    kernel = jax.random.normal(kk, (3, 3, 3, 2), jnp.float32)
+    out_hw = (28, 36)
+
+    def loss(f):
+        return lambda x, k: (f(x, k) ** 2).sum()
+
+    gb = jax.grad(
+        loss(lambda x, k: _baseline_resize_conv(x, k, None, out_hw, False)),
+        argnums=(0, 1),
+    )(x, kernel)
+    gf = jax.grad(
+        loss(lambda x, k: resize_conv3x3_factored(x, k, None, out_hw, False)),
+        argnums=(0, 1),
+    )(x, kernel)
+    for b, f in zip(gb, gf):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_upernet_fused_bottleneck_matches_unfused():
+    """Split-fused fpn_bottleneck: identical param tree and outputs."""
+    from geo_deep_learning_tpu.models.decoders.upernet import UperNetDecoder
+
+    inputs = [
+        jax.random.normal(jax.random.PRNGKey(i), (2, s, s, 24), jnp.float32)
+        for i, s in enumerate((24, 12, 6, 3))
+    ]
+    kw = dict(pool_scales=(1, 2, 3, 6), channels=16, align_corners=False)
+    fused = UperNetDecoder(**kw, fuse_bottleneck=True)
+    unfused = UperNetDecoder(**kw, fuse_bottleneck=False)
+    v = unfused.init(jax.random.PRNGKey(0), inputs)
+    assert jax.tree_util.tree_structure(
+        fused.init(jax.random.PRNGKey(0), inputs)
+    ) == jax.tree_util.tree_structure(v)
+    yf, sf = fused.apply(v, inputs, train=True, mutable=["batch_stats"])
+    yu, su = unfused.apply(v, inputs, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yu), rtol=1e-4, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        sf,
+        su,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(v, inputs, train=False)),
+        np.asarray(unfused.apply(v, inputs, train=False)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
