@@ -38,8 +38,8 @@ from geo_deep_learning_tpu.ops.s2d import (
     nearest_up2_packed,
     pack_bias,
     pack_conv3x3_kernel,
+    pack_up2_conv3x3_kernel,
     packed_concat,
-    repack_up2,
     slot_mean_var,
     space_to_depth,
     tile_stats,
@@ -60,6 +60,11 @@ class PackedConv3x3(nn.Module):
     use_bias: bool = False
     winograd: bool = False  # run the packed conv through the fused
     # Winograd F(2x2,3x3) kernel (ops/pallas/winograd.py) when eligible
+    # up2_input: the input is the UNPACKED pre-upsample tensor and this
+    # module computes conv3x3(nearest_up2(x)) in packed layout directly
+    # via ops/s2d.py:pack_up2_conv3x3_kernel — the tiled-x4 input and the
+    # 75%-zero packed kernel never exist (4x fewer FLOPs / input reads).
+    up2_input: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -71,6 +76,21 @@ class PackedConv3x3(nn.Module):
             (3, 3, self.in_features, self.features),
             self.param_dtype,
         )
+        if self.up2_input:
+            y = jax.lax.conv_general_dilated(
+                xp.astype(self.dtype),
+                pack_up2_conv3x3_kernel(kernel.astype(self.dtype)),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros_init(), (self.features,),
+                    self.param_dtype,
+                )
+                y = y + pack_bias(bias).astype(self.dtype)
+            return y
         pk = pack_conv3x3_kernel(kernel.astype(self.dtype))
         if self.winograd:
             from geo_deep_learning_tpu.ops.pallas.winograd import winograd_conv3x3
@@ -145,6 +165,7 @@ class PackedConvModule(nn.Module):
     features: int
     in_features: int
     winograd: bool = False
+    up2_input: bool = False  # see PackedConv3x3.up2_input
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -153,7 +174,8 @@ class PackedConvModule(nn.Module):
         xp = PackedConv3x3(
             self.features,
             self.in_features,
-            winograd=self.winograd,
+            winograd=self.winograd and not self.up2_input,
+            up2_input=self.up2_input,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
@@ -297,6 +319,11 @@ class DecoderBlock(nn.Module):
     packed: bool = False
     quad: bool = False  # quad-resident input/output (pre-concatenated)
     winograd: bool = False
+    # packed + up2_fused: the caller hands the RAW pre-upsample tensor
+    # (no skips) and conv1 computes conv3x3(nearest_up2(x)) in packed
+    # layout directly (PackedConv3x3.up2_input) — the x4-tiled input
+    # never exists.
+    up2_fused: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -332,15 +359,17 @@ class DecoderBlock(nn.Module):
                 msg = "packed DecoderBlock takes a pre-concatenated input"
                 raise ValueError(msg)
             xp = x
-            in_feats = (
-                packed_in_features
-                if packed_in_features is not None
-                else x.shape[-1] // 4
-            )
+            if self.up2_fused:
+                in_feats = x.shape[-1]
+            elif packed_in_features is not None:
+                in_feats = packed_in_features
+            else:
+                in_feats = x.shape[-1] // 4
             xp = PackedConvModule(
                 self.features,
                 in_feats,
                 winograd=self.winograd,
+                up2_input=self.up2_fused,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="conv1",
@@ -472,19 +501,23 @@ class UnetPlusPlusDecoder(nn.Module):
         # packed_tail the result stays in space-to-depth layout
         # [B, H/2, W/2, 4*out_ch] for the caller's packed head
         if self.packed_tail:
+            # conv1 fuses the nearest-up2 into its packed kernel
+            # (DecoderBlock.up2_fused): hand it the raw source-resolution
+            # node, unpacking the finest column's output first if needed
             x_fin = (
-                repack_up2(dense[(0, depth - 1)])
+                depth_to_space(dense[(0, depth - 1)])
                 if depth - 1 == packed_j
-                else nearest_up2_packed(dense[(0, depth - 1)])
+                else dense[(0, depth - 1)]
             )
             out = DecoderBlock(
                 out_ch[depth],
                 packed=True,
                 winograd=self.winograd,
+                up2_fused=True,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_0_{depth}",
-            )(x_fin, (), train=train, packed_in_features=node_ch[(0, depth - 1)])
+            )(x_fin, (), train=train)
         else:
             out = DecoderBlock(
                 out_ch[depth],
@@ -538,15 +571,11 @@ class UnetPlusPlusDecoder(nn.Module):
                 out_ch[depth],
                 packed=True,
                 winograd=self.winograd,
+                up2_fused=True,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_0_{depth}",
-            )(
-                nearest_up2_packed(m),
-                (),
-                train=train,
-                packed_in_features=out_ch[depth - 1],
-            )
+            )(m, (), train=train)
         else:
             out = DecoderBlock(
                 out_ch[depth],
