@@ -24,6 +24,21 @@ BINARY_MODE = "binary"
 MULTICLASS_MODE = "multiclass"
 
 
+def _sample_w(sample_weights, targets) -> jnp.ndarray | None:
+    """Broadcastable ``[B, 1, ...]`` per-sample weight (None if absent).
+
+    Used to mask wraparound-padded tail samples out of eval losses (the
+    static-shape equivalent of the reference evaluating a genuinely
+    smaller final DataLoader batch): a zero weight removes the sample's
+    contribution exactly, matching how ``valid_count`` already masks the
+    confusion matrix in ops/metrics.py.
+    """
+    if sample_weights is None:
+        return None
+    w = jnp.asarray(sample_weights, jnp.float32)
+    return w.reshape((targets.shape[0],) + (1,) * (targets.ndim - 1))
+
+
 def _soft_probs(logits: jnp.ndarray, mode: str) -> jnp.ndarray:
     logits = logits.astype(jnp.float32)
     if mode == BINARY_MODE:
@@ -41,12 +56,14 @@ def dice_loss(
     eps: float = _EPS,
     log_loss: bool = False,
     ignore_index: int | None = None,
+    sample_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Soft Dice loss with smp-compatible aggregation.
 
     Per-class dice computed over (batch, spatial) jointly, then averaged
     over classes — the same aggregation smp's ``DiceLoss`` uses (dims
-    ``(0, 2)`` of a ``[B, C, H*W]`` layout).
+    ``(0, 2)`` of a ``[B, C, H*W]`` layout). ``sample_weights`` ([B],
+    0/1) restricts the joint aggregation to valid samples exactly.
     """
     probs = _soft_probs(logits, mode)
     b = probs.shape[0]
@@ -60,6 +77,10 @@ def dice_loss(
         valid = (targets.reshape(b, -1, 1) != ignore_index).astype(jnp.float32)
         probs = probs * valid
         onehot = onehot * valid
+    if sample_weights is not None:
+        w = jnp.asarray(sample_weights, jnp.float32).reshape(b, 1, 1)
+        probs = probs * w
+        onehot = onehot * w
 
     intersection = jnp.sum(probs * onehot, axis=(0, 1))  # per class
     cardinality = jnp.sum(probs + onehot, axis=(0, 1))
@@ -74,6 +95,7 @@ def jaccard_loss(
     mode: str = MULTICLASS_MODE,
     smooth: float = 0.0,
     eps: float = _EPS,
+    sample_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Soft IoU (Jaccard) loss, same aggregation as :func:`dice_loss`."""
     probs = _soft_probs(logits, mode)
@@ -83,6 +105,10 @@ def jaccard_loss(
         onehot = targets.reshape(b, -1, 1).astype(jnp.float32)
     else:
         onehot = jax.nn.one_hot(targets.reshape(b, -1), c, dtype=jnp.float32)
+    if sample_weights is not None:
+        w = jnp.asarray(sample_weights, jnp.float32).reshape(b, 1, 1)
+        probs = probs * w
+        onehot = onehot * w
     intersection = jnp.sum(probs * onehot, axis=(0, 1))
     union = jnp.sum(probs + onehot, axis=(0, 1)) - intersection
     iou = (intersection + smooth) / jnp.maximum(union + smooth, eps)
@@ -94,6 +120,7 @@ def soft_cross_entropy(
     targets: jnp.ndarray,
     smooth_factor: float = 0.0,
     ignore_index: int | None = None,
+    sample_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Label-smoothed cross entropy (smp ``SoftCrossEntropyLoss`` semantics).
 
@@ -106,9 +133,13 @@ def soft_cross_entropy(
     onehot = jax.nn.one_hot(targets, c, dtype=jnp.float32)
     soft_targets = (1.0 - smooth_factor) * onehot + smooth_factor / c
     nll = -jnp.sum(soft_targets * log_probs, axis=-1)  # [B, H, W]
+    weights = _sample_w(sample_weights, targets)
     if ignore_index is not None:
         valid = (targets != ignore_index).astype(jnp.float32)
-        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        weights = valid if weights is None else weights * valid
+    if weights is not None:
+        weights = jnp.broadcast_to(weights, nll.shape)
+        return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
     return jnp.mean(nll)
 
 
@@ -117,6 +148,7 @@ def cross_entropy(
     targets: jnp.ndarray,
     ignore_index: int | None = None,
     class_weights: jnp.ndarray | None = None,
+    sample_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Plain multiclass cross entropy over NHWC logits."""
     logits = logits.astype(jnp.float32)
@@ -130,15 +162,26 @@ def cross_entropy(
         weights = weights * jnp.asarray(class_weights)[safe]
     if ignore_index is not None:
         weights = weights * (targets != ignore_index)
+    sw = _sample_w(sample_weights, targets)
+    if sw is not None:
+        weights = weights * sw
     return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
-def binary_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def binary_cross_entropy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    sample_weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """BCE-with-logits over ``[B, H, W, 1]`` logits and {0,1} targets."""
     logits = logits.astype(jnp.float32).squeeze(-1)
     t = targets.astype(jnp.float32)
     # stable formulation: max(x,0) - x*t + log1p(exp(-|x|))
     loss = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    w = _sample_w(sample_weights, t)
+    if w is not None:
+        w = jnp.broadcast_to(w, loss.shape)
+        return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
     return jnp.mean(loss)
 
 
@@ -148,6 +191,7 @@ def focal_loss(
     mode: str = MULTICLASS_MODE,
     alpha: float | None = None,
     gamma: float = 2.0,
+    sample_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Focal loss for class-imbalanced segmentation."""
     logits = logits.astype(jnp.float32)
@@ -159,14 +203,20 @@ def focal_loss(
         w = (1 - pt) ** gamma
         if alpha is not None:
             w = w * (alpha * t + (1 - alpha) * (1 - t))
-        return jnp.mean(w * ce)
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    logpt = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
-    pt = jnp.exp(logpt)
-    w = (1 - pt) ** gamma
-    if alpha is not None:
-        w = w * alpha
-    return jnp.mean(-w * logpt)
+        per_pixel = w * ce
+    else:
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        logpt = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+        pt = jnp.exp(logpt)
+        w = (1 - pt) ** gamma
+        if alpha is not None:
+            w = w * alpha
+        per_pixel = -w * logpt
+    sw = _sample_w(sample_weights, targets)
+    if sw is not None:
+        sw = jnp.broadcast_to(sw, per_pixel.shape)
+        return jnp.sum(per_pixel * sw) / jnp.maximum(jnp.sum(sw), 1.0)
+    return jnp.mean(per_pixel)
 
 
 class _ConfiguredLoss:
@@ -179,7 +229,11 @@ class _ConfiguredLoss:
     def __init__(self, **kwargs):
         self.kwargs = kwargs
 
-    def __call__(self, logits, targets):
+    def __call__(self, logits, targets, sample_weights=None):
+        if sample_weights is not None:
+            return type(self).fn(
+                logits, targets, sample_weights=sample_weights, **self.kwargs
+            )
         return type(self).fn(logits, targets, **self.kwargs)
 
     def __repr__(self):

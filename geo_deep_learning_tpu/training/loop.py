@@ -434,6 +434,7 @@ class Trainer:
         keep_first_preds: bool = False,
     ) -> tuple[dict, Any]:
         losses = []
+        counts = []
         cm = jnp.zeros((task.eval_classes, task.eval_classes), dtype=jnp.float32)
         sample = None
         n = 0
@@ -445,11 +446,22 @@ class Trainer:
                 # first batch is pulled to host to feed visualization
                 sample = {"batch": batch, "preds": np.asarray(out["preds"])}
             losses.append(out["loss"])
+            # epoch mean weighted by VALID samples: a padded tail batch
+            # contributes proportionally to its real size, matching the
+            # reference's Lightning batch-size-weighted epoch loss
+            bsz = int(batch["mask"].shape[0])
+            counts.append(int(np.asarray(batch.get("valid_count", bsz))))
             cm = cm + out["confusion"]
             n += 1
         if n == 0:
             return {}, None
-        result = {f"{prefix}_loss": float(jnp.mean(jnp.stack(losses)))}
+        result = {
+            f"{prefix}_loss": float(
+                np.average(np.asarray(jnp.stack(losses)), weights=counts)
+            )
+            if sum(counts)
+            else float("nan")
+        }
         iou = M.iou_from_confusion(cm)
         result[f"{prefix}_miou"] = float(jnp.nanmean(iou))
         if task_labels is not None and task.class_labels:

@@ -161,14 +161,17 @@ def make_eval_step(
         fwd_batch = dict(batch)
         fwd_batch["image"] = image
         out = task.forward(variables, fwd_batch, train=False)
-        loss = task.compute_loss(out, batch["mask"])
-        preds = logits_to_preds(out.out, task.num_classes, task.threshold)
         # padded tail batches (static shapes) carry valid_count; pad
-        # samples' pixels are masked out of the metric
+        # samples are masked out of BOTH the loss and the metric — the
+        # loss drives early stopping / plateau LR / best-checkpoint, so
+        # letting wraparound pads double-weight their source samples
+        # would bias model selection
         weights = None
         if "valid_count" in batch:
-            b = preds.shape[0]
+            b = batch["mask"].shape[0]
             weights = (jnp.arange(b) < batch["valid_count"]).astype(jnp.float32)
+        loss = task.compute_loss(out, batch["mask"], sample_weights=weights)
+        preds = logits_to_preds(out.out, task.num_classes, task.threshold)
         cm = confusion_matrix(preds, batch["mask"], n, sample_weights=weights)
         return {
             "loss": loss.astype(jnp.float32),

@@ -86,8 +86,42 @@ class SegmentationTask:
             variables, *self.model_args(batch), train=train, rngs=rngs, mutable=mutable
         )
 
-    def compute_loss(self, output, mask: jnp.ndarray) -> jnp.ndarray:
+    def compute_loss(
+        self,
+        output,
+        mask: jnp.ndarray,
+        sample_weights: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Main (+0.4·aux) loss; ``sample_weights`` ([B], 0/1) masks
+        wraparound-padded tail samples out of eval losses exactly (the
+        reference evaluates a genuinely smaller last batch; our static
+        shapes pad-and-mask instead). Custom loss callables that do not
+        accept ``sample_weights`` fall back to the unweighted form.
+        """
+        if sample_weights is not None and self._loss_takes_weights():
+            loss = self.loss(output.out, mask, sample_weights=sample_weights)
+            if output.aux is not None:
+                loss = loss + self.aux_loss_weight * self.loss(
+                    output.aux, mask, sample_weights=sample_weights
+                )
+            return loss
         loss = self.loss(output.out, mask)
         if output.aux is not None:
             loss = loss + self.aux_loss_weight * self.loss(output.aux, mask)
         return loss
+
+    def _loss_takes_weights(self) -> bool:
+        cached = getattr(self, "_loss_weights_ok", None)
+        if cached is None:
+            import inspect
+
+            try:
+                sig = inspect.signature(self.loss)
+                cached = "sample_weights" in sig.parameters or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in sig.parameters.values()
+                )
+            except (TypeError, ValueError):
+                cached = False
+            object.__setattr__(self, "_loss_weights_ok", cached)
+        return cached
