@@ -309,15 +309,28 @@ class QuadConvModule(nn.Module):
 def _up2_conv(x: jnp.ndarray, k_eff: jnp.ndarray) -> jnp.ndarray:
     """lhs-dilated conv computing ``conv3x3(nearest_up2(x))`` with the
     4x4 kernel K (.) ones(2,2); custom VJP pins both gradients to plain
-    single-conv forms (validated exact vs ``jax.vjp`` of the forward;
-    measured ~1% step win over XLA's derived backward at bs32):
+    stride-1 convs over the space-to-depth grid of ``dy`` (validated
+    exact vs ``jax.vjp`` of the forward).
+
+    Forward algebra (XLA correlation convention, pad 2, lhs-dilation 2):
+    ``y[p] = sum_m x[m] * k_eff[2m - p + 2]``.
 
     - dx = conv(dy, k_eff[::-1, ::-1], stride 2, pad 1) with the kernel's
       feature dims read swapped (HWOI) — the only reversal is the tiny
-      4x4 kernel;
-    - dk = conv(x, dy, lhs_dilation 2, pad 2) with batch/feature roles
-      swapped (CHWN x IHWO -> HWNC), i.e. the standard weight-grad conv,
-      no activation transposes.
+      4x4 kernel (HLO census: zero full-tensor reverses);
+    - dk: the natural weight-grad form conv(x, dy, lhs_dilation 2) makes
+      dy the conv RHS of an lhs-dilated conv, which the TPU backend
+      lowers through a FULL-TENSOR spatial reversal of dy — 4 x 1.6
+      ms/step at bs32 on the finest decoder column (a reversed
+      minor-dim tile walk is ~80x the cost of copying the same bytes).
+      Swapping roles — dy as CHWN lhs, x as the (rhs_dilation=2) sliding
+      window — computes ``out[o, u', c] = sum_m dy[u' - 1 + 2m] x[m]``,
+      i.e. dk at reversed tap index ``u = 3 - u'``; a [O,4,4,C]-sized
+      flip + transpose restores HWIO. Same contraction, no dilated lhs,
+      no big reversal: 10x faster in isolation at the hot shape
+      (B32 H128 C96 O64: 4.3 vs 43 ms host-timed; phase-split slices
+      measured 6.7 ms and the s2d(dy) re-expression regressed the full
+      step by +13 ms of pad/reshape/copy, so both were rejected).
     """
     return jax.lax.conv_general_dilated(
         x, k_eff, (1, 1), ((2, 2), (2, 2)),
@@ -337,10 +350,11 @@ def _up2_conv_bwd(res, dy):
         dimension_numbers=("NHWC", "HWOI", "NHWC"),
     )
     dk = jax.lax.conv_general_dilated(
-        x, dy, (1, 1), ((2, 2), (2, 2)),
-        lhs_dilation=(2, 2),
-        dimension_numbers=("CHWN", "IHWO", "HWNC"),
-    )
+        dy, x, (1, 1), ((1, 1), (1, 1)),
+        rhs_dilation=(2, 2),
+        dimension_numbers=("CHWN", "IHWO", "NHWC"),
+    )  # [O, 4, 4, C] at reversed tap index
+    dk = dk[:, ::-1, ::-1].transpose(1, 2, 3, 0)
     return dx, dk.astype(k_eff.dtype)
 
 
