@@ -85,6 +85,7 @@ def build_schedule(
     lr: float,
     total_steps: int | None,
     steps_per_epoch: int | None,
+    onecycle_ctx: dict | None = None,
 ) -> tuple[Any, optim_lib.PlateauController | None]:
     """Map a (normalized) reference scheduler config onto an optax schedule
     or a host-side plateau controller.
@@ -112,10 +113,40 @@ def build_schedule(
         )
         return None, plateau
     if sched_name in ("OneCycleLR", "torch.optim.lr_scheduler.OneCycleLR"):
-        steps = int(sched_cfg.get("total_steps") or total_steps or 1000)
+        # the reference's three total-steps fallbacks, in ITS order
+        # (segmentation_dofa.py:149-191): (1) the trainer's estimated
+        # stepping batches when the loader is sized; (2) streaming
+        # datamodules expose epoch_size -> steps_per_epoch + an
+        # accumulation buffer; (3) the config's own total_steps
+        ctx = onecycle_ctx or {}
+        accum = max(int(ctx.get("accumulate", 1)), 1)
+        if total_steps:
+            steps = -(-int(total_steps) // accum)
+        elif ctx.get("epoch_size") and ctx.get("batch_size"):
+            import math
+
+            spe = math.ceil(
+                int(ctx["epoch_size"]) / (int(ctx["batch_size"]) * accum)
+            )
+            buffer_steps = int(spe * accum)
+            steps = (spe + buffer_steps) * int(ctx.get("max_epochs", 1))
+        else:
+            steps = int(sched_cfg.get("total_steps") or 1000)
+        kw = {
+            k: float(sched_cfg[k])
+            for k in ("pct_start", "div_factor", "final_div_factor")
+            if k in sched_cfg
+        }
+        if sched_cfg.get("anneal_strategy", "cos") != "cos":
+            logger.warning(
+                "OneCycleLR anneal_strategy=%r not supported; using cos",
+                sched_cfg["anneal_strategy"],
+            )
         return (
             optim_lib.one_cycle(
-                max_lr=float(sched_cfg.get("max_lr", lr)), total_steps=steps
+                max_lr=float(sched_cfg.get("max_lr", lr)),
+                total_steps=steps,
+                **kw,
             ),
             None,
         )
@@ -176,6 +207,9 @@ class Trainer:
         self._plateau: optim_lib.PlateauController | None = None
         self._schedule = None
         self._base_lr = float("nan")
+        # datamodule facts for OneCycleLR's streaming-loader fallback
+        # (reference segmentation_dofa.py:163-180); filled in by fit()
+        self._onecycle_ctx: dict = {}
 
     def _current_lr(self, step: int) -> float:
         """Effective learning rate for metric logging (reference logs
@@ -241,7 +275,8 @@ class Trainer:
 
         sched_cfg = normalize(scheduler or {})
         schedule, self._plateau = build_schedule(
-            sched_cfg, lr, total_steps, steps_per_epoch
+            sched_cfg, lr, total_steps, steps_per_epoch,
+            onecycle_ctx=self._onecycle_ctx,
         )
         self._schedule = schedule
         self._base_lr = lr
@@ -295,6 +330,12 @@ class Trainer:
         total_steps = (
             steps_per_epoch * cfg.max_epochs if steps_per_epoch else None
         )
+        self._onecycle_ctx = {
+            "epoch_size": getattr(datamodule, "epoch_size", None),
+            "batch_size": getattr(datamodule, "batch_size", None),
+            "accumulate": cfg.accumulate_grad_batches,
+            "max_epochs": cfg.max_epochs,
+        }
 
         first_batch = next(iter(train_loader))
         self.state = self._init_state(

@@ -116,14 +116,38 @@ def one_cycle(
     div_factor: float = 25.0,
     final_div_factor: float = 1e4,
 ) -> optax.Schedule:
-    """torch ``OneCycleLR`` (cos annealing strategy)."""
-    return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=max_lr,
-        pct_start=pct_start,
-        div_factor=div_factor,
-        final_div_factor=final_div_factor,
-    )
+    """torch ``OneCycleLR`` (cos annealing strategy), golden-matched.
+
+    Implemented closed-form rather than via optax's
+    ``cosine_onecycle_schedule`` because torch anneals phase 1 over
+    ``pct_start * total_steps - 1`` steps and phase 2 over the remaining
+    steps to ``total_steps - 1`` (both inclusive endpoints), while optax
+    uses ``pct_start * total_steps`` — a visible off-by-one in short
+    cycles. ``anneal_cos(a, b, pct) = b + (a - b)/2 * (1 + cos(pi*pct))``.
+    Past the cycle end the final LR is held (torch raises instead; the
+    reference's buffer-steps fallback deliberately overestimates totals
+    so the tail is reachable, segmentation_dofa.py:171-180).
+    """
+    import jax.numpy as jnp
+
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+    s1 = float(pct_start * total_steps) - 1.0
+    s2 = float(total_steps) - 1.0
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        pct_up = jnp.clip(step / jnp.maximum(s1, 1e-8), 0.0, 1.0)
+        up = max_lr + (initial_lr - max_lr) / 2.0 * (
+            1.0 + jnp.cos(jnp.pi * pct_up)
+        )
+        pct_dn = jnp.clip(
+            (step - s1) / jnp.maximum(s2 - s1, 1e-8), 0.0, 1.0
+        )
+        dn = min_lr + (max_lr - min_lr) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct_dn))
+        return jnp.where(step <= s1, up, dn)
+
+    return schedule
 
 
 @dataclass

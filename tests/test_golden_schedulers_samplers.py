@@ -151,3 +151,101 @@ def test_round_robin_semantics_match_reference(ref_modules):
     # our batches must index within each sensor's local range
     for name, local in ours:
         assert all(0 <= i < sizes[name] for i in local)
+
+
+@pytest.mark.parametrize(
+    "total,max_lr,pct_start,div,final_div",
+    [
+        (100, 1e-3, 0.3, 25.0, 1e4),       # torch defaults
+        (250, 5e-4, 0.1, 10.0, 100.0),     # custom shape
+        (40, 1e-2, 0.5, 2.0, 50.0),
+    ],
+)
+def test_one_cycle_matches_torch(total, max_lr, pct_start, div, final_div):
+    """Our optax one_cycle == torch.optim.lr_scheduler.OneCycleLR over a
+    full cycle (VERDICT r2 #7: pct_start/div_factor/final_div_factor were
+    previously dropped on the config path and never golden-tested)."""
+    torch = pytest.importorskip("torch")
+    from geo_deep_learning_tpu.training.optim import one_cycle
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=max_lr)
+    ref = torch.optim.lr_scheduler.OneCycleLR(
+        opt,
+        max_lr=max_lr,
+        total_steps=total,
+        pct_start=pct_start,
+        div_factor=div,
+        final_div_factor=final_div,
+        anneal_strategy="cos",
+    )
+    ours = one_cycle(
+        max_lr=max_lr,
+        total_steps=total,
+        pct_start=pct_start,
+        div_factor=div,
+        final_div_factor=final_div,
+    )
+    for step in range(total):
+        ref_lr = opt.param_groups[0]["lr"]
+        got = float(ours(step))
+        assert got == pytest.approx(ref_lr, rel=2e-3, abs=1e-8), (
+            step, got, ref_lr,
+        )
+        opt.step()
+        ref.step()
+
+
+def test_build_schedule_forwards_onecycle_shape():
+    """The config path forwards pct_start/div_factor/final_div_factor
+    (reference YAML passes the whole init_args dict through)."""
+    from geo_deep_learning_tpu.training.loop import build_schedule
+
+    sched, plateau = build_schedule(
+        {
+            "name": "OneCycleLR",
+            "max_lr": 1e-3,
+            "pct_start": 0.5,
+            "div_factor": 10.0,
+            "final_div_factor": 100.0,
+        },
+        lr=1e-3,
+        total_steps=100,
+        steps_per_epoch=10,
+    )
+    assert plateau is None
+    import numpy as np
+
+    # pct_start=0.5 -> peak at step 49 (torch anneals phase 1 over
+    # pct_start*total - 1 steps); default 0.3 would peak at 29
+    lrs = [float(sched(s)) for s in range(100)]
+    assert np.argmax(lrs) == 49
+    assert lrs[0] == pytest.approx(1e-3 / 10.0, rel=1e-5)
+
+
+def test_build_schedule_onecycle_streaming_fallback():
+    """Streaming loaders (no sized __len__): total steps come from the
+    datamodule's epoch_size, mirroring segmentation_dofa.py:163-180."""
+    import math
+
+    from geo_deep_learning_tpu.training.loop import build_schedule
+
+    ctx = {"epoch_size": 130, "batch_size": 8, "accumulate": 1, "max_epochs": 3}
+    sched, _ = build_schedule(
+        {"name": "OneCycleLR", "max_lr": 1e-3},
+        lr=1e-3,
+        total_steps=None,
+        steps_per_epoch=None,
+        onecycle_ctx=ctx,
+    )
+    spe = math.ceil(130 / 8)
+    expected_total = (spe + spe) * 3  # buffer_steps == spe at accumulate=1
+    # past the end the schedule holds its final value
+    end = float(sched(expected_total))
+    later = float(sched(expected_total + 50))
+    assert end == pytest.approx(later)
+    # and the peak sits at pct_start * expected_total (default 0.3)
+    import numpy as np
+
+    lrs = [float(sched(s)) for s in range(expected_total)]
+    assert np.argmax(lrs) == pytest.approx(0.3 * expected_total - 1, abs=1.5)
