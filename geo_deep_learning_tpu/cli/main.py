@@ -201,7 +201,19 @@ def run_predict_scene(trainer, spec, datamodule, ckpt_path, args):
 
     mean = getattr(datamodule, "mean", None)
     std = getattr(datamodule, "std", None)
-    streamed = args.streamed or scene_path.stat().st_size > 512 * 1024 * 1024
+    # gate streaming on DECODED size (h*w*c*itemsize) — a heavily
+    # deflate/LZW-compressed scene under a file-size threshold can decode
+    # to many GB and OOM the monolithic path (advisor r2)
+    try:
+        from geo_deep_learning_tpu.data.geotiff_stream import GeoTiffWindowReader
+
+        with GeoTiffWindowReader(str(scene_path)) as _r:
+            decoded_bytes = (
+                _r.height * _r.width * _r.channels * _r.dtype.itemsize
+            )
+    except Exception:  # non-TIFF input: fall back to the file size
+        decoded_bytes = scene_path.stat().st_size
+    streamed = args.streamed or decoded_bytes > 512 * 1024 * 1024
     runner = predict_scene_streamed if streamed else predict_scene
     out = runner(
         forward,

@@ -144,10 +144,20 @@ def streamed_scene_logits_writer(
                 block, ((0, 0), (0, pad_w), (0, 0)), mode="reflect"
             )
         if nrows < band_h:
-            # rows no valid tile touches — fill mode is irrelevant
-            block = np.pad(
-                block, ((0, band_h - nrows), (0, 0), (0, 0)), mode="edge"
-            )
+            # scenes shorter than one tile: the single clamped tile DOES
+            # cover padded rows, so reflect exactly like the monolithic
+            # _plan_tiles (bit-identity); rows beyond the tile are
+            # touched by no valid tile and the fill mode is irrelevant
+            reflect_rows = min(max(tile - nrows, 0), band_h - nrows)
+            if reflect_rows:
+                block = np.pad(
+                    block, ((0, reflect_rows), (0, 0), (0, 0)), mode="reflect"
+                )
+            rest = band_h - nrows - reflect_rows
+            if rest:
+                block = np.pad(
+                    block, ((0, rest), (0, 0), (0, 0)), mode="edge"
+                )
         coords = np.array(
             [(int(r) - r0, int(c)) for r in group for c in cols], np.int32
         )

@@ -48,17 +48,33 @@ def _prune_specs(
 ) -> list[P] | None:
     """Drop mesh axes that don't divide their dim; None if nothing maps.
 
+    ``specs`` is the concatenation of in-specs (one per arg) and
+    out-specs; only the in-specs are divisibility-checked — out dims are
+    not known here, so every axis named in an out spec MUST also be named
+    by an in spec (it then inherits that verdict). An axis appearing
+    solely in out specs raises: silently pruning it would declare a
+    device-varying output replicated, which corrupts results.
+
     Pruning is consistent across args: an axis is kept only if it divides
     the mapped dim of EVERY arg that names it (attention's q/k/v share
     batch and head dims, so in practice this is all-or-nothing).
     """
     keep: dict[str, bool] = {}
-    for a, spec in zip(args, specs):
+    for a, spec in zip(args, specs[: len(args)]):
         for dim, ax in enumerate(spec):
             if ax is None:
                 continue
             ok = a.ndim > dim and a.shape[dim] % mesh.shape[ax] == 0
             keep[ax] = keep.get(ax, True) and ok
+    for spec in specs[len(args):]:
+        for ax in spec:
+            if ax is not None and ax not in keep:
+                msg = (
+                    f"out spec names mesh axis {ax!r} that no in spec "
+                    "names; shard_map out specs must reuse input-named "
+                    "axes so their divisibility is established"
+                )
+                raise ValueError(msg)
     if not any(keep.get(ax, False) and mesh.shape[ax] > 1 for ax in keep):
         return None
     pruned = []

@@ -532,9 +532,25 @@ def _winograd_parts_bwd(th, part_ch, res, dyq):
     dtype = parts[0][0].dtype
     dyq = tuple(g.astype(dtype) for g in dyq)
     # dx over the FULL (concatenated) channel dim via the single-part
-    # forward kernel with the rotated kernel, then split per part
+    # forward kernel with the rotated kernel, then split per part.
+    # The dx kernel's channel dims are SWAPPED vs the forward (cin=Cout,
+    # cout=sum(part_ch)), so the forward's tile-row count may blow the
+    # VMEM budget for wide concats — re-pick th for the swapped shape and
+    # fall back to the XLA conv when nothing fits (advisor r2).
     ctot = sum(part_ch)
-    dx_full = _run_fwd_parts([dyq], rotate_kernel(w), th, (w.shape[-1],))
+    cout = w.shape[-1]
+    p_rows, q_cols = dyq[0].shape[1], dyq[0].shape[2]
+    th_dx = _pick_th(p_rows, q_cols, cout, ctot)
+    if th_dx is not None:
+        dx_full = _run_fwd_parts([dyq], rotate_kernel(w), th_dx, (cout,))
+    else:
+        from geo_deep_learning_tpu.ops.winograd import quad_merge, quad_split
+
+        dx_merged = jax.lax.conv_general_dilated(
+            quad_merge(dyq), rotate_kernel(w).astype(dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        dx_full = quad_split(dx_merged)
     dparts, c0 = [], 0
     for cp in part_ch:
         dparts.append(tuple(a[..., c0 : c0 + cp] for a in dx_full))

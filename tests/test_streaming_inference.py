@@ -92,7 +92,20 @@ def _toy_forward(tiles):
     return jnp.einsum("bhwc,ck->bhwk", tiles, k)
 
 
-@pytest.mark.parametrize("shape", [(96, 80), (64, 48), (40, 40)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (96, 80),
+        (64, 48),
+        (40, 40),
+        # scenes shorter/narrower than one tile: the clamped tile covers
+        # padded rows, which must reflect exactly like _plan_tiles
+        # (advisor r2: edge-pad diverged from the monolithic path here)
+        (20, 40),
+        (40, 20),
+        (20, 24),
+    ],
+)
 def test_streamed_blend_matches_monolithic(shape):
     h, w = shape
     rng = np.random.default_rng(2)
