@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+_INTERPRET = False  # True in tests: pallas interpreter mode on CPU
+
 
 def _kernel(img_ref, mean_ref, std_ref, out_ref):
     i = pl.program_id(0)
@@ -61,6 +63,7 @@ def _pallas_call(image, mean, std, out_dtype):
             (1, h, w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w * c), out_dtype),
+        interpret=_INTERPRET,
     )(img3, mean_row, inv_row)
     return out.reshape(b, h, w, c)
 

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 
 # query tile: rows per grid step (8-divisible; 512 divides every MiT Lq)
 _TQ = 512
+_INTERPRET = False  # True in tests: pallas interpreter mode on CPU
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -72,6 +73,7 @@ def _pallas_attention(q, k, v, scale):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+        interpret=_INTERPRET,
     )(q, k, v)
 
 

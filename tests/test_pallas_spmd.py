@@ -131,3 +131,120 @@ def test_fused_attention_shard_mapped_grad(interpret_kernel):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #3: the SR-attention and preprocess kernels under shard_map
+# in interpreter mode, plus a partition-proof that FAILS if the wrapper
+# ever bypasses shard_map (the multichip dryrun used to exercise only the
+# einsum fallbacks).
+
+import geo_deep_learning_tpu.ops.pallas.preprocess as preprocess
+import geo_deep_learning_tpu.ops.pallas.sr_attention as sra
+
+
+@pytest.fixture
+def interpret_sr(monkeypatch):
+    monkeypatch.setattr(sra, "_INTERPRET", True)
+    monkeypatch.setattr(sra, "_TQ", 8)
+    monkeypatch.setattr(sra, "_supported", lambda q, k: True)
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
+def test_sr_attention_shard_mapped_interpret(interpret_sr):
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    b, h, lq, lk, d = 8, 2, 16, 8, 16
+    q = _rand((b, h, lq, d), 0)
+    k = _rand((b, h, lk, d), 1)
+    v = _rand((b, h, lk, d), 2)
+    scale = 1.0 / np.sqrt(d)
+    sharding = NamedSharding(mesh, P("data", "model"))
+    qs = jax.device_put(q, sharding)
+    ks = jax.device_put(k, sharding)
+    vs = jax.device_put(v, sharding)
+
+    # record the shapes the kernel is actually traced with: under
+    # shard_map they must be the PER-DEVICE shards — this assertion is
+    # what fails if maybe_shard_map ever silently bypasses the mesh
+    seen = []
+    orig = sra._pallas_attention
+
+    def spy(q, k, v, scale):
+        seen.append(tuple(q.shape))
+        return orig(q, k, v, scale)
+
+    sra._pallas_attention = spy
+    try:
+        @jax.jit
+        def run(q, k, v):
+            with use_compute_mesh(mesh):
+                return sra.sr_attention(q, k, v, scale)
+
+        out = run(qs, ks, vs)
+        ref = sra._einsum_attention(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    finally:
+        sra._pallas_attention = orig
+    assert seen, "pallas path not taken"
+    assert all(s == (b // 4, h // 2, lq, d) for s in seen), (
+        f"kernel saw {seen}, expected per-device shards "
+        f"{(b // 4, h // 2, lq, d)} — shard_map was bypassed"
+    )
+    assert out.sharding.spec[:2] == ("data", "model")
+
+
+def test_sr_attention_shard_mapped_grad(interpret_sr):
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    b, h, lq, lk, d = 4, 2, 16, 8, 16
+    q = _rand((b, h, lq, d), 0)
+    k = _rand((b, h, lk, d), 1)
+    v = _rand((b, h, lk, d), 2)
+    g = _rand((b, h, lq, d), 3)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_kernel(q, k, v):
+        with use_compute_mesh(mesh):
+            return (sra.sr_attention(q, k, v, scale) * g).sum()
+
+    def loss_ref(q, k, v):
+        return (sra._einsum_attention(q, k, v, scale) * g).sum()
+
+    gk = jax.jit(jax.grad(loss_kernel, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+@pytest.fixture
+def interpret_preprocess(monkeypatch):
+    monkeypatch.setattr(preprocess, "_INTERPRET", True)
+    monkeypatch.setattr(preprocess, "_is_axon", lambda: True)
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
+def test_preprocess_shard_mapped_interpret(interpret_preprocess):
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    b, h, w, c = 8, 16, 32, 3
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 255, size=(b, h, w, c)), jnp.uint8)
+    mean = jnp.asarray([0.4, 0.45, 0.5], jnp.float32)
+    std = jnp.asarray([0.2, 0.25, 0.3], jnp.float32)
+    sharding = NamedSharding(mesh, P("data"))
+    img_s = jax.device_put(img, sharding)
+
+    @jax.jit
+    def run(img):
+        with use_compute_mesh(mesh):
+            return preprocess.fused_normalize_standardize(img, mean, std)
+
+    out = run(img_s)
+    ref = preprocess._jnp_reference(
+        img, jnp.broadcast_to(mean[None], (b, c)),
+        jnp.broadcast_to(std[None], (b, c)), jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    assert out.sharding.spec[0] == "data"
