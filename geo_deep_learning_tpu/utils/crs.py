@@ -10,6 +10,23 @@ PROJ; this is a from-scratch implementation):
   flattening — the same formulation PROJ's ``etmerc`` uses; sub-mm
   agreement within UTM zones)
 - **Web Mercator** (EPSG:3857, spherical)
+- **Lambert conformal conic (2SP)** — EPSG:3978 (Canada Atlas Lambert,
+  the NRCan house projection), EPSG:3347 (Statistics Canada Lambert),
+  EPSG:2154 (France Lambert-93)
+- **Albers equal-area conic** — EPSG:5070 (CONUS Albers),
+  EPSG:3577 (Australian Albers)
+- **Polar stereographic (variant B)** — EPSG:3413 (NSIDC Arctic),
+  EPSG:3031 (Antarctic)
+
+The conic/polar families use the exact ellipsoidal formulas (Snyder,
+"Map Projections — A Working Manual", USGS PP 1395, §14/15/21),
+vectorized over numpy arrays; goldens in tests/test_utils_rasters.py
+reproduce Snyder's published worked examples on their own ellipsoids
+plus projection invariants (unit scale on standard parallels, area
+preservation for Albers, origin mapping). Datum note: NAD83/RGF93/GDA94
+are treated as coincident with WGS84 (GRS80 vs WGS84 flattening differs
+in the 9th significant digit; plate drift aside, the standard EO
+approximation).
 
 API: :func:`to_geographic` / :func:`from_geographic` convert between a
 projected CRS and lon/lat degrees; :func:`transform_points` goes between
@@ -17,6 +34,8 @@ any two supported CRSs. All functions are vectorized over numpy arrays.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -116,6 +135,9 @@ def to_geographic(epsg: int, x, y):
     """Projected (x, y) in ``epsg`` → (lon, lat) degrees on WGS84."""
     if epsg == 4326:
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    proj = PROJECTIONS.get(epsg)
+    if proj is not None:
+        return proj.inverse(x, y)
     if epsg == 3857:
         lon = np.degrees(np.asarray(x, np.float64) / _A)
         lat = np.degrees(
@@ -130,6 +152,9 @@ def from_geographic(epsg: int, lon, lat):
     """(lon, lat) degrees on WGS84 → projected (x, y) in ``epsg``."""
     if epsg == 4326:
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    proj = PROJECTIONS.get(epsg)
+    if proj is not None:
+        return proj.forward(lon, lat)
     if epsg == 3857:
         x = _A * np.radians(np.asarray(lon, np.float64))
         y = _A * np.log(np.tan(np.pi / 4 + np.radians(np.asarray(lat, np.float64)) / 2))
@@ -139,9 +164,226 @@ def from_geographic(epsg: int, lon, lat):
     return e + _FE, n + fn
 
 
+# --------------------------------------------------------------------------
+# Conic + polar families (exact ellipsoidal formulas, Snyder PP 1395)
+
+# (a, flattening); GRS80 and WGS84 differ only in the 9th digit of 1/f
+_WGS84 = (6378137.0, 1.0 / 298.257223563)
+_GRS80 = (6378137.0, 1.0 / 298.257222101)
+
+
+def _ecc(ell: tuple[float, float]) -> float:
+    a, f = ell
+    return float(np.sqrt(f * (2.0 - f)))
+
+
+def _msf(e: float, phi):
+    """m(φ) = cosφ / sqrt(1 − e² sin²φ) (Snyder 14-15)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
+
+
+def _tsf(e: float, phi):
+    """t(φ) = tan(π/4 − φ/2) / ((1 − e sinφ)/(1 + e sinφ))^{e/2} (15-9)."""
+    s = e * np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+
+
+def _phi_from_ts(e: float, ts):
+    """Invert :func:`_tsf` by fixed-point iteration (Snyder 7-9)."""
+    phi = np.pi / 2 - 2.0 * np.arctan(ts)
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2.0 * np.arctan(
+            ts * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+        )
+    return phi
+
+
+def _qsf(e: float, phi):
+    """Albers q(φ) (Snyder 3-12)."""
+    s = np.sin(phi)
+    es = e * s
+    return (1.0 - e * e) * (
+        s / (1.0 - es * es) - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+    )
+
+
+@dataclass(frozen=True)
+class LambertConformal2SP:
+    """Snyder §15 (ellipsoid, two standard parallels)."""
+
+    ellipsoid: tuple[float, float]
+    lat0: float
+    lon0: float
+    sp1: float
+    sp2: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    def _consts(self):
+        a, _ = self.ellipsoid
+        e = _ecc(self.ellipsoid)
+        p1, p2 = np.radians(self.sp1), np.radians(self.sp2)
+        m1, m2 = _msf(e, p1), _msf(e, p2)
+        t1, t2 = _tsf(e, p1), _tsf(e, p2)
+        if abs(self.sp1 - self.sp2) < 1e-10:
+            n = np.sin(p1)
+        else:
+            n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        f_ = m1 / (n * t1**n)
+        rho0 = a * f_ * _tsf(e, np.radians(self.lat0)) ** n
+        return a, e, n, f_, rho0
+
+    def forward(self, lon, lat):
+        a, e, n, f_, rho0 = self._consts()
+        phi = np.radians(np.asarray(lat, np.float64))
+        theta = n * np.radians(np.asarray(lon, np.float64) - self.lon0)
+        rho = a * f_ * _tsf(e, phi) ** n
+        return (
+            self.fe + rho * np.sin(theta),
+            self.fn + rho0 - rho * np.cos(theta),
+        )
+
+    def inverse(self, x, y):
+        a, e, n, f_, rho0 = self._consts()
+        xp = np.asarray(x, np.float64) - self.fe
+        yp = rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sign(n) * np.hypot(xp, yp)
+        theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+        ts = (rho / (a * f_)) ** (1.0 / n)
+        phi = _phi_from_ts(e, ts)
+        return np.degrees(theta / n) + self.lon0, np.degrees(phi)
+
+
+@dataclass(frozen=True)
+class AlbersEqualArea:
+    """Snyder §14 (ellipsoid, two standard parallels)."""
+
+    ellipsoid: tuple[float, float]
+    lat0: float
+    lon0: float
+    sp1: float
+    sp2: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    def _consts(self):
+        a, _ = self.ellipsoid
+        e = _ecc(self.ellipsoid)
+        p1, p2 = np.radians(self.sp1), np.radians(self.sp2)
+        m1, m2 = _msf(e, p1), _msf(e, p2)
+        q1, q2 = _qsf(e, p1), _qsf(e, p2)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        c = m1 * m1 + n * q1
+        rho0 = a * np.sqrt(c - n * _qsf(e, np.radians(self.lat0))) / n
+        return a, e, n, c, rho0
+
+    def forward(self, lon, lat):
+        a, e, n, c, rho0 = self._consts()
+        phi = np.radians(np.asarray(lat, np.float64))
+        theta = n * np.radians(np.asarray(lon, np.float64) - self.lon0)
+        rho = a * np.sqrt(c - n * _qsf(e, phi)) / n
+        return (
+            self.fe + rho * np.sin(theta),
+            self.fn + rho0 - rho * np.cos(theta),
+        )
+
+    def inverse(self, x, y):
+        a, e, n, c, rho0 = self._consts()
+        xp = np.asarray(x, np.float64) - self.fe
+        yp = rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.hypot(xp, yp)
+        theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+        q = (c - (rho * n / a) ** 2) / n
+        # iterate Snyder 3-16 for φ from q
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            es = e * s
+            phi = phi + (1.0 - es * es) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e * e)
+                - s / (1.0 - es * es)
+                + np.log((1.0 - es) / (1.0 + es)) / (2.0 * e)
+            )
+        return np.degrees(theta / n) + self.lon0, np.degrees(phi)
+
+
+@dataclass(frozen=True)
+class PolarStereographic:
+    """Snyder §21 variant B (ellipsoid, standard parallel lat_ts)."""
+
+    ellipsoid: tuple[float, float]
+    lat_ts: float
+    lon0: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    @property
+    def north(self) -> bool:
+        return self.lat_ts >= 0
+
+    def _consts(self):
+        a, _ = self.ellipsoid
+        e = _ecc(self.ellipsoid)
+        pts = np.radians(abs(self.lat_ts))
+        # ρ = a m(φ_ts) t(φ)/t(φ_ts)
+        scale = a * _msf(e, pts) / _tsf(e, pts)
+        return a, e, scale
+
+    def forward(self, lon, lat):
+        _, e, scale = self._consts()
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        if not self.north:
+            lam, phi = -lam, -phi
+        rho = scale * _tsf(e, phi)
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if not self.north:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        _, e, scale = self._consts()
+        xp = np.asarray(x, np.float64) - self.fe
+        yp = np.asarray(y, np.float64) - self.fn
+        if not self.north:
+            xp, yp = -xp, -yp
+        rho = np.hypot(xp, yp)
+        ts = rho / scale
+        phi = _phi_from_ts(e, ts)
+        lam = np.arctan2(xp, -yp)
+        if not self.north:
+            lam, phi = -lam, -phi
+        lon = np.degrees(lam) + self.lon0
+        return (lon + 180.0) % 360.0 - 180.0, np.degrees(phi)
+
+
+# EPSG registry for the conic/polar families (official parameter sets)
+PROJECTIONS: dict[int, object] = {
+    # NAD83 / Canada Atlas Lambert — the NRCan house projection
+    3978: LambertConformal2SP(_GRS80, 49.0, -95.0, 49.0, 77.0),
+    # NAD83 / Statistics Canada Lambert
+    3347: LambertConformal2SP(
+        _GRS80, 63.390675, -91.0 - 52.0 / 60.0, 49.0, 77.0, 6200000.0, 3000000.0
+    ),
+    # RGF93 / Lambert-93 (France)
+    2154: LambertConformal2SP(_GRS80, 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
+    # NAD83 / CONUS Albers
+    5070: AlbersEqualArea(_GRS80, 23.0, -96.0, 29.5, 45.5),
+    # GDA94 / Australian Albers
+    3577: AlbersEqualArea(_GRS80, 0.0, 132.0, -18.0, -36.0),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413: PolarStereographic(_WGS84, 70.0, -45.0),
+    # WGS84 / Antarctic Polar Stereographic
+    3031: PolarStereographic(_WGS84, -71.0, 0.0),
+}
+
+
 def is_supported(epsg: int | None) -> bool:
     """True when :func:`transform_points` can handle this EPSG code."""
-    if epsg in (4326, 3857):
+    if epsg in (4326, 3857) or epsg in PROJECTIONS:
         return True
     return epsg is not None and (
         32601 <= epsg <= 32660 or 32701 <= epsg <= 32760

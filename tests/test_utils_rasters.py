@@ -150,3 +150,152 @@ def test_dataset_stats_excludes_nodata(tmp_path):
 def test_dataset_stats_empty_list():
     with pytest.raises(ValueError, match="empty"):
         compute_dataset_stats_from_list([])
+
+
+# ---------------------------------------------------------------------------
+# Conic + polar CRS families (VERDICT r2 #6): Snyder goldens, invariants,
+# and align_to_reference across three new families.
+
+def test_crs_snyder_goldens():
+    """Exact reproduction of Snyder PP 1395 worked examples, on the
+    ellipsoids those examples use (LCC §15 p.296, Albers §14 p.292,
+    polar stereographic §21 p.315)."""
+    from geo_deep_learning_tpu.utils import crs as crs_lib
+
+    clarke1866 = (6378206.4, 1.0 / 294.9786982)
+    lcc = crs_lib.LambertConformal2SP(clarke1866, 23.0, -96.0, 33.0, 45.0)
+    x, y = lcc.forward(-75.0, 35.0)
+    np.testing.assert_allclose([x, y], [1894410.9, 1564649.5], atol=0.5)
+    lon, lat = lcc.inverse(x, y)
+    np.testing.assert_allclose([lon, lat], [-75.0, 35.0], atol=1e-9)
+
+    alb = crs_lib.AlbersEqualArea(clarke1866, 23.0, -96.0, 29.5, 45.5)
+    x, y = alb.forward(-75.0, 35.0)
+    np.testing.assert_allclose([x, y], [1885472.7, 1535925.0], atol=0.5)
+    lon, lat = alb.inverse(x, y)
+    np.testing.assert_allclose([lon, lat], [-75.0, 35.0], atol=1e-9)
+
+    intl = (6378388.0, 1.0 / 297.0)
+    ps = crs_lib.PolarStereographic(intl, -71.0, -100.0)
+    x, y = ps.forward(150.0, -75.0)
+    np.testing.assert_allclose([x, y], [-1540033.6, -560526.4], atol=0.5)
+    lon, lat = ps.inverse(x, y)
+    np.testing.assert_allclose([lon, lat], [150.0, -75.0], atol=1e-9)
+
+
+def test_crs_standard_parallel_scale_and_area():
+    """Projection invariants on the registry codes: unit linear scale on
+    every standard parallel (conformal + polar), and unit AREA scale for
+    Albers anywhere (that is what equal-area means)."""
+    from geo_deep_learning_tpu.utils import crs as crs_lib
+
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2 - f)
+
+    def parallel_scale(epsg, lon, sp):
+        d = 1e-6
+        x1, y1 = crs_lib.from_geographic(epsg, lon, sp)
+        x2, y2 = crs_lib.from_geographic(epsg, lon + d, sp)
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(sp)) ** 2)
+        true = nu * np.cos(np.radians(sp)) * np.radians(d)
+        return float(np.hypot(x2 - x1, y2 - y1) / true)
+
+    for epsg, lon, sp in [
+        (3978, -100.0, 49.0),
+        (3978, -100.0, 77.0),
+        (3347, -95.0, 49.0),
+        (2154, 2.0, 44.0),
+        (2154, 2.0, 49.0),
+        (3413, -30.0, 70.0),
+    ]:
+        assert abs(parallel_scale(epsg, lon, sp) - 1.0) < 1e-7, (epsg, sp)
+    # WGS84-ellipsoid polar stereo: use WGS84 radii for truth
+    a_w, f_w = 6378137.0, 1.0 / 298.257223563
+    e2_w = f_w * (2 - f_w)
+    d = 1e-6
+    x1, y1 = crs_lib.from_geographic(3031, 10.0, -71.0)
+    x2, y2 = crs_lib.from_geographic(3031, 10.0 + d, -71.0)
+    nu = a_w / np.sqrt(1 - e2_w * np.sin(np.radians(-71.0)) ** 2)
+    true = nu * np.cos(np.radians(-71.0)) * np.radians(d)
+    assert abs(float(np.hypot(x2 - x1, y2 - y1)) / true - 1.0) < 1e-7
+
+    # Albers: |det J| == M * N * cos(phi) everywhere in-domain
+    for epsg, lon, lat in [(5070, -96.0, 37.0), (5070, -110.0, 44.0),
+                           (3577, 132.0, -25.0), (3577, 145.0, -40.0)]:
+        d = 1e-7
+        x0, y0 = crs_lib.from_geographic(epsg, lon, lat)
+        xl, yl = crs_lib.from_geographic(epsg, lon + d, lat)
+        xp, yp = crs_lib.from_geographic(epsg, lon, lat + d)
+        dd = np.radians(d)
+        det = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (dd * dd)
+        s2 = np.sin(np.radians(lat)) ** 2
+        m_rad = a * (1 - e2) / (1 - e2 * s2) ** 1.5
+        n_rad = a / np.sqrt(1 - e2 * s2)
+        true_area = m_rad * n_rad * np.cos(np.radians(lat))
+        assert abs(det / true_area - 1.0) < 1e-5, (epsg, lon, lat)
+
+
+def test_crs_registry_roundtrip():
+    from geo_deep_learning_tpu.utils import crs as crs_lib
+
+    pts = {
+        3978: (-106.0, 52.0), 3347: (-96.0, 55.0), 2154: (2.35, 48.85),
+        5070: (-98.0, 39.0), 3577: (134.0, -24.0), 3413: (-45.0, 75.0),
+        3031: (45.0, -80.0),
+    }
+    for epsg, (lon, lat) in pts.items():
+        assert crs_lib.is_supported(epsg)
+        x, y = crs_lib.from_geographic(epsg, lon, lat)
+        lo, la = crs_lib.to_geographic(epsg, x, y)
+        np.testing.assert_allclose([lo, la], [lon, lat], atol=1e-9, err_msg=str(epsg))
+
+
+@pytest.mark.parametrize(
+    "dst_epsg,center,res_out",
+    [
+        (3978, (-79.45, 43.70), 30.0),   # Canada Atlas Lambert (LCC)
+        (5070, (-98.00, 38.50), 30.0),   # CONUS Albers
+        (3413, (-44.00, 74.50), 100.0),  # Arctic polar stereographic
+    ],
+)
+def test_align_cross_crs_to_new_families(tmp_path, dst_epsg, center, res_out):
+    """align_to_reference into the LCC / Albers / polar-stereo families:
+    a linear-in-(lon,lat) source field must reappear at each target
+    pixel's inverse-projected center (same construction as the UTM
+    golden above)."""
+    from geo_deep_learning_tpu.utils import crs as crs_lib
+
+    lon_c, lat_c = center
+    # at high latitude the target window spans far more longitude per
+    # meter, so stretch the source's lon pixels by ~1/cos(lat)
+    res_lat = 0.001
+    res = res_lat / max(np.cos(np.radians(lat_c)), 0.05)
+    h, w = 120, 120
+    lon0, lat0 = lon_c - w * res / 2, lat_c + h * res_lat / 2
+    src_geo = GeoInfo(Affine(res, 0, lon0, 0, -res_lat, lat0), epsg=4326)
+    lon = lon0 + (np.arange(w) + 0.5) * res
+    lat = lat0 - (np.arange(h) + 0.5) * res_lat
+    lon_g, lat_g = np.meshgrid(lon, lat)
+    src = (1000.0 * (lon_g - lon0) + 2000.0 * (lat0 - lat_g)).astype(np.float32)
+    sp = tmp_path / "src.tif"
+    write_geotiff(sp, src[..., None], src_geo)
+
+    e0, n0 = crs_lib.from_geographic(dst_epsg, lon_c - 0.03, lat_c + 0.03)
+    ref_geo = GeoInfo(
+        Affine(res_out, 0, float(e0), 0, -res_out, float(n0)), epsg=dst_epsg
+    )
+    rp = tmp_path / "ref.tif"
+    write_geotiff(rp, np.zeros((48, 48), np.uint8), ref_geo)
+
+    out_path = align_to_reference(
+        sp, rp, tmp_path / "out.tif", resampling="bilinear"
+    )
+    out, out_geo = read_geotiff(out_path)
+    assert out_geo.epsg == dst_epsg
+
+    cols, rows = np.meshgrid(np.arange(48) + 0.5, np.arange(48) + 0.5)
+    xs = res_out * cols + float(e0)
+    ys = -res_out * rows + float(n0)
+    lon_p, lat_p = crs_lib.to_geographic(dst_epsg, xs, ys)
+    expected = 1000.0 * (lon_p - lon0) + 2000.0 * (lat0 - lat_p)
+    np.testing.assert_allclose(out[..., 0], expected, atol=5e-3)
