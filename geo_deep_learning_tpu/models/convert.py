@@ -44,6 +44,10 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
+    # HF DOFA artifacts wrap everything under a "model" dict
+    # (reference dofa_v2.py:302-304)
+    if isinstance(obj, dict) and isinstance(obj.get("model"), dict):
+        obj = obj["model"]
     return {k: v.detach().numpy() for k, v in obj.items() if hasattr(v, "numpy")}
 
 
@@ -227,10 +231,33 @@ def convert_mit(state: Mapping[str, np.ndarray], in_channels: int = 3) -> dict:
 # --------------------------------------------------------------------------
 
 
+def remap_hf_dofa(state: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Raw HuggingFace DOFA artifact → the reference's post-remap layout.
+
+    Replicates ``dofa_v2.py:306-323``: keys under a ``model.`` prefix are
+    stripped and kept only for ``blocks.* / norm.* / cls_token /
+    pos_embed`` (the artifact carries extra pretraining heads there);
+    unprefixed keys (the wavelength-conditioned ``patch_embed.*`` tree)
+    pass through. Idempotent on already-clean dicts.
+    """
+    out: dict[str, np.ndarray] = {}
+    for key, value in state.items():
+        if key.startswith("model."):
+            nk = key[6:]
+            if nk.startswith(("blocks.", "norm.")) or nk in {
+                "cls_token",
+                "pos_embed",
+            }:
+                out[nk] = value
+        else:
+            out[key] = value
+    return out
+
+
 def convert_dofa(
     state: Mapping[str, np.ndarray], num_heads: int | None = None
 ) -> dict:
-    """DOFA v2 (reference HF layout after its own remapping) → ``DOFAv2``.
+    """DOFA v2 (raw HF artifact or reference post-remap layout) → ``DOFAv2``.
 
     torch names (dofa_v2.py): patch_embed.weight_generator.{transformer_encoder.layers.0.*, fc_weight, fc_bias, weight_tokens, bias_token},
     patch_embed.fclayer.{w1,w2}, cls_token, blocks.{i}.{norm1,attn.qkv,attn.proj,ls1.gamma,norm2,mlp.fc1,mlp.fc2,ls2.gamma}, norm.
@@ -238,6 +265,8 @@ def convert_dofa(
     ``num_heads`` overrides the d_model→heads table (base 768→12,
     large 1024→16) for non-standard dims.
     """
+
+    state = remap_hf_dofa(state)
 
     def heads_of(d_model: int) -> int:
         return num_heads if num_heads is not None else _dofa_heads(d_model)
@@ -346,11 +375,68 @@ def convert_dofa(
             _set(params, f"{fp}/attn/out/bias", val)
     if "norm.weight" in state:
         ln("norm", "norm")
-    return {"params": params}
+    out = {"params": params}
+    if "pos_embed" in state:
+        # carried as a SIDE entry (our DOFAv2 has no pos_embed param —
+        # it recomputes sincos at the current grid); pass it to
+        # ``DOFAv2(pos_embed_table=...)`` to reproduce the reference's
+        # resize-the-trained-table behavior at mismatched grids
+        out["pos_embed"] = np.asarray(state["pos_embed"])
+    return out
 
 
 def _dofa_heads(d_model: int) -> int:
     return {768: 12, 1024: 16}.get(d_model, max(1, d_model // 64))
+
+
+def _bicubic_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """[out, in] row-interpolation matrix of torch's ``interpolate(mode=
+    "bicubic", align_corners=False)``: cubic convolution kernel with
+    a = -0.75, half-pixel source coordinates, indices clamped at the
+    borders (replicate). Verified element-exact against torch in
+    tests/test_fetch_weights.py."""
+    a = -0.75
+
+    def w(x: float) -> float:
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+        if x < 2.0:
+            return a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+        return 0.0
+
+    m = np.zeros((out_size, in_size), np.float64)
+    for o in range(out_size):
+        src = (o + 0.5) * in_size / out_size - 0.5
+        i = int(np.floor(src))
+        t = src - i
+        for k in range(-1, 3):
+            m[o, min(max(i + k, 0), in_size - 1)] += w(k - t)
+    return m
+
+
+def resize_pos_embed(pos_embed: np.ndarray, num_patches: int) -> np.ndarray:
+    """Resize a ``[1, 1 + g², D]`` ViT positional table to a new square
+    grid, replicating the reference's checkpoint-load behavior
+    (``dofa_v2.py:349-392``): keep the cls row, bicubic-resize the grid
+    rows. The trained positional RANGE is preserved (the standard ViT
+    practice) — unlike recomputing sincos at the new grid, which would
+    extrapolate positions the pretrained blocks never saw."""
+    pos_embed = np.asarray(pos_embed)
+    if pos_embed.shape[1] == num_patches + 1:
+        return pos_embed
+    cls_row = pos_embed[:, :1, :]
+    grid = pos_embed[:, 1:, :]
+    old_g = int(round(grid.shape[1] ** 0.5))
+    new_g = int(round(num_patches**0.5))
+    if old_g != new_g:
+        d = grid.shape[-1]
+        g2 = grid.reshape(old_g, old_g, d).astype(np.float64)
+        m = _bicubic_matrix(new_g, old_g)
+        g2 = np.einsum("oi,ijd->ojd", m, g2)
+        g2 = np.einsum("pj,ojd->opd", m, g2)
+        grid = g2.reshape(1, new_g * new_g, d).astype(pos_embed.dtype)
+    return np.concatenate([cls_row, grid], axis=1)
 
 
 # --------------------------------------------------------------------------

@@ -204,11 +204,16 @@ class DOFAv2Embedding(nn.Module):
         kernel = kernel.transpose(1, 2, 0, 3) * self.scaler
         bias = bias * self.scaler
         if self.convert_to_16:
-            # bicubic kernel resize 14→16 (reference :167-177)
-            kernel = jax.image.resize(
-                kernel, (16, 16, in_channels, self.embed_dim), method="cubic",
-                antialias=False,
-            )
+            # bicubic kernel resize 14→16 (reference :167-177). Torch's
+            # interpolate(mode="bicubic") uses the a=-0.75 cubic kernel;
+            # jax.image.resize("cubic") uses Keys a=-0.5 and visibly
+            # diverges — apply the exact torch matrix (golden-matched in
+            # tests/test_fetch_weights.py) as two thin einsums.
+            from geo_deep_learning_tpu.models.convert import _bicubic_matrix
+
+            m = jnp.asarray(_bicubic_matrix(16, k), self.dtype)
+            kernel = jnp.einsum("oh,hwcd->owcd", m, kernel)
+            kernel = jnp.einsum("pw,owcd->opcd", m, kernel)
         return kernel, bias
 
     def __call__(
@@ -544,6 +549,13 @@ class DOFAv2(nn.Module):
     drop_path_rate: float = 0.1
     convert_patch_to_16: bool = False
     remat: bool = False  # jax.checkpoint each ViT block
+    # optional checkpoint positional table [1, 1 + g², D] (numpy). When
+    # given, it replaces the recomputed sincos grid, bicubic-resized to
+    # the current grid exactly as the reference does at checkpoint load
+    # (dofa_v2.py:349-392) — preserving the TRAINED positional range
+    # instead of extrapolating fresh sincos positions. Produced by
+    # models/convert.convert_dofa (side entry "pos_embed").
+    pos_embed_table: Any = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -574,7 +586,15 @@ class DOFAv2(nn.Module):
             name="patch_embed",
         )(x, wavelengths, baked=baked_embed)
         b, gh, gw, d = tokens.shape
-        pos = jnp.asarray(sincos_2d(d, gh, gw), dtype=self.dtype)
+        if self.pos_embed_table is not None:
+            from geo_deep_learning_tpu.models.convert import resize_pos_embed
+
+            table = resize_pos_embed(self.pos_embed_table, gh * gw)
+            # reference applies the grid rows only; the cls row is unused
+            # (dofa_v2.py:448-453 adds pos BEFORE prepending cls)
+            pos = jnp.asarray(table[0, 1:, :], dtype=self.dtype)
+        else:
+            pos = jnp.asarray(sincos_2d(d, gh, gw), dtype=self.dtype)
         seq = tokens.reshape(b, gh * gw, d) + pos[None]
         cls_token = self.param(
             "cls_token", nn.initializers.normal(0.02), (1, 1, d), self.param_dtype

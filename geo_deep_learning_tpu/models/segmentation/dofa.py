@@ -28,6 +28,7 @@ class DOFASegmentation(nn.Module):
     num_classes: int = 1
     decoder_channels: int = 256
     remat: bool = False
+    pos_embed_table: Any = None  # see DOFAv2.pos_embed_table
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -43,6 +44,7 @@ class DOFASegmentation(nn.Module):
         encoder = DOFAv2(
             variant=self.encoder_name,
             remat=self.remat,
+            pos_embed_table=self.pos_embed_table,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="encoder",
