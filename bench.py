@@ -38,6 +38,14 @@ A100_ESTIMATE = {
     # -> no ViT backward; A100 est scaled 25 / (1 - 0.33) ~= 40 (encoder bwd
     # ~ 1/3 of the full step on the same profile mix)
     "dofa_base_frozen": 40.0,
+    # model corners (VERDICT r2 #9) — public MMSeg/smp training-log
+    # anchors at 512**2 AMP: SegFormer-B2 ~28 p/s, DOFA-large (ViT-L
+    # 24-block backbone + UperNet) ~11 p/s
+    "segformer_b2": 28.0,
+    "dofa_large": 11.0,
+    # remat row: same math as dofa_base, so the same anchor — the row
+    # documents what rematerialization costs/buys at a larger batch
+    "dofa_base_remat": 25.0,
 }
 # per-model default batch (batch size is an implementation-freedom
 # throughput knob): bs8 fits DOFA-base in HBM and measures 29% faster
@@ -48,6 +56,9 @@ DEFAULT_BATCH = {
     "unetpp_r34": 32,  # +2% over bs16 with the factored-up2 decoder
     "dofa_base": 16,
     "dofa_base_frozen": 16,
+    "segformer_b2": 16,
+    "dofa_large": 8,
+    "dofa_base_remat": 32,  # remat headroom: 2x the non-remat batch
 }
 TARGET_MULTIPLIER = 3.0
 
@@ -62,21 +73,25 @@ def build(model_name: str, batch: int, image_size: int):
 
     num_classes = 5
     dtype = jnp.bfloat16
-    if model_name == "segformer_b0":
+    if model_name.startswith("segformer"):
         from geo_deep_learning_tpu.models.segmentation.segformer import SegFormer
 
-        model = SegFormer(encoder_name="mit_b0", num_classes=num_classes, dtype=dtype)
+        mit = {"segformer_b0": "mit_b0", "segformer_b2": "mit_b2"}[model_name]
+        model = SegFormer(encoder_name=mit, num_classes=num_classes, dtype=dtype)
     elif model_name == "unetpp_r34":
         from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
 
         model = UnetPlusPlus(
             encoder_name="resnet34", num_classes=num_classes, dtype=dtype
         )
-    elif model_name in ("dofa_base", "dofa_base_frozen"):
+    elif model_name in ("dofa_base", "dofa_base_frozen", "dofa_base_remat", "dofa_large"):
         from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation
 
         model = DOFASegmentation(
-            encoder_name="dofa_base", num_classes=num_classes, dtype=dtype
+            encoder_name="dofa_large" if model_name == "dofa_large" else "dofa_base",
+            remat=model_name == "dofa_base_remat",
+            num_classes=num_classes,
+            dtype=dtype,
         )
     else:
         msg = f"unknown model {model_name}"
@@ -94,7 +109,7 @@ def build(model_name: str, batch: int, image_size: int):
             np.int32
         ),
     }
-    if model_name.startswith("dofa_base"):
+    if model_name.startswith("dofa"):
         batch_data["wavelengths"] = np.asarray([0.665, 0.549, 0.481], np.float32)
 
     # the reference's own DOFA recipe trains with the encoder FROZEN
