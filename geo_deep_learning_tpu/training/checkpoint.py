@@ -66,6 +66,13 @@ class CheckpointManager:
             )
         )
 
+    def reset_best(self) -> None:
+        """Forget a previous run's best (fresh fit into a reused dir —
+        its checkpoint may have an incompatible optimizer-state tree)."""
+        self.best_score = None
+        self.best_path = None
+        self._save_index()
+
     def _is_better(self, score: float) -> bool:
         if self.best_score is None:
             return True

@@ -356,6 +356,20 @@ class Trainer:
         if ckpt_path:
             self.state = self.ckpt.restore(ckpt_path, self.state)
             logger.info("resumed from %s", ckpt_path)
+        elif self.ckpt.best_path is not None:
+            # fresh fit into a dir holding an earlier run's checkpoints:
+            # a stale best (possibly from a DIFFERENT optimizer/scheduler
+            # config, hence a different opt_state tree) must not gate
+            # this run's saves or be restored by the auto-test — Lightning
+            # avoids this via versioned run dirs; we reset the tracking
+            # (old files stay on disk until a same-named save replaces them)
+            logger.warning(
+                "checkpoint dir %s holds an earlier run's best (%s); "
+                "starting fresh best tracking for this fit",
+                cfg.checkpoint_dir,
+                self.ckpt.best_path,
+            )
+            self.ckpt.reset_best()
 
         train_step = make_train_step(
             task,

@@ -99,3 +99,32 @@ def test_eval_loss_custom_callable_falls_back():
         },
     )
     assert np.isfinite(float(out["loss"]))
+
+
+def test_fresh_fit_resets_stale_best(tmp_path):
+    """A fresh fit into a dir holding an earlier run's checkpoints must
+    not restore that run's (possibly tree-incompatible) best at
+    auto-test time (found driving the CLI with a changed scheduler:
+    Orbax tree-structure mismatch on restore)."""
+    import json
+
+    from geo_deep_learning_tpu.training.checkpoint import CheckpointManager
+
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    (d / "index.json").write_text(
+        json.dumps(
+            {
+                "best_score": 0.001,  # unbeatably good stale best
+                "best_path": str(d / "model-epoch=00-val_loss=0.001"),
+                "monitor": "val_loss",
+            }
+        )
+    )
+    mgr = CheckpointManager(d)
+    assert mgr.best_score == 0.001  # index load still works (resume path)
+    mgr.reset_best()
+    assert mgr.best_score is None and mgr.best_path is None
+    # and the reset persists so save() can beat it
+    mgr2 = CheckpointManager(d)
+    assert mgr2.best_score is None
