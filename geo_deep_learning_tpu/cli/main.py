@@ -97,6 +97,14 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     parser.add_argument("--tile-overlap", type=int, default=128)
     parser.add_argument("--tile-batch", type=int, default=8)
     parser.add_argument(
+        "--blend",
+        default="hann",
+        choices=("hann", "uniform", "crop"),
+        help="overlap blending: hann taper (default), uniform average, or "
+        "receptive-field-aware core cropping (margins contribute only at "
+        "scene borders)",
+    )
+    parser.add_argument(
         "--streamed",
         action="store_true",
         help="band-streamed I/O (auto-enabled for scenes > 512 MB)",
@@ -164,6 +172,7 @@ def run_predict_scene(trainer, spec, datamodule, ckpt_path, args):
         tile_size=args.tile_size,
         overlap=args.tile_overlap,
         batch_size=args.tile_batch,
+        blend=args.blend,
     )
     # init variables from a dummy tile batch, then restore the checkpoint
     from geo_deep_learning_tpu.data.geotiff_stream import GeoTiffWindowReader

@@ -34,7 +34,7 @@ class SlidingWindowConfig:
     tile_size: int = 512
     overlap: int = 128
     batch_size: int = 8
-    blend: str = "hann"  # "hann" | "uniform"
+    blend: str = "hann"  # "hann" | "uniform" | "crop"
 
 
 def _tile_origins(size: int, tile: int, stride: int) -> np.ndarray:
@@ -47,9 +47,24 @@ def _tile_origins(size: int, tile: int, stride: int) -> np.ndarray:
     return np.array(starts)
 
 
-def _blend_window(tile: int, kind: str) -> np.ndarray:
+def _blend_window(tile: int, kind: str, overlap: int = 0) -> np.ndarray:
     if kind == "uniform":
         return np.ones((tile, tile), dtype=np.float32)
+    if kind == "crop":
+        # Receptive-field-aware core cropping (ROADMAP halo-exchange item):
+        # a pixel in a tile's outer margin saw context truncated at the
+        # tile edge, so its prediction is unreliable for models whose
+        # receptive field exceeds the overlap. Weight the core
+        # [m, tile-m) at 1.0 and the margin at a 1e-3 floor: with
+        # m = overlap // 2 and stride = tile - overlap, the cores tile
+        # the scene interior exactly (every interior pixel gets >= 1
+        # full-context prediction and margin contributions vanish by
+        # 3 orders of magnitude), while scene-border pixels — which no
+        # core can cover — still receive the floored margin predictions.
+        m = overlap // 2
+        w = np.full(tile, 1e-3, dtype=np.float32)
+        w[m : tile - m] = 1.0
+        return np.outer(w, w).astype(np.float32)
     # Hann taper, floored so edge tiles still contribute at scene borders
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * (np.arange(tile) + 0.5) / tile)
     w2 = np.outer(w, w).astype(np.float32)
@@ -167,7 +182,7 @@ def _plan_tiles(scene, cfg: SlidingWindowConfig, multiple: int):
     if n_pad:
         coords = np.concatenate([coords, np.zeros((n_pad, 2), np.int32)])
     valid = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
-    window = jnp.asarray(_blend_window(tile, cfg.blend))
+    window = jnp.asarray(_blend_window(tile, cfg.blend, cfg.overlap))
     return scene, coords, valid, window, h, w
 
 

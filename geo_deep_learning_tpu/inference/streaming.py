@@ -117,7 +117,7 @@ def streamed_scene_logits_writer(
     wp = w + pad_w
     rows = _tile_origins(h, tile, stride)          # global tile-row origins
     cols = _tile_origins(wp, tile, stride)
-    window = jnp.asarray(_blend_window(tile, cfg.blend))
+    window = jnp.asarray(_blend_window(tile, cfg.blend, cfg.overlap))
     band_h = tile + (band_tile_rows - 1) * stride  # fixed → one compiled program
     max_tiles = band_tile_rows * len(cols)
     n_data = 1

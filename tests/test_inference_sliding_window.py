@@ -167,3 +167,50 @@ def test_sharded_params_threading_matches():
         fwd_params, scene, 5, mesh, cfg, params={"w": w}
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_crop_blend_rejects_margin_artifacts():
+    """blend="crop": tile-margin predictions (truncated receptive field)
+    must not bleed into the interior. A 'model' that corrupts each tile's
+    outer overlap//2 ring by +100 should leave the crop-blended interior
+    within the 1e-3 floor's leakage, while the Hann blend visibly leaks."""
+    rng = np.random.default_rng(3)
+    scene = rng.normal(size=(70, 90, 2)).astype(np.float32)
+    tile, overlap = 32, 16
+    m = overlap // 2
+
+    def forward(tiles):
+        bad = jnp.full_like(tiles, 100.0)
+        core = jnp.zeros((tile, tile, 1), tiles.dtype)
+        core = core.at[m : tile - m, m : tile - m].set(1.0)
+        return tiles * core + bad * (1.0 - core)
+
+    crop = sliding_window_logits(
+        forward, scene, 2,
+        SlidingWindowConfig(tile_size=tile, overlap=overlap, batch_size=4, blend="crop"),
+    )
+    hann = sliding_window_logits(
+        forward, scene, 2,
+        SlidingWindowConfig(tile_size=tile, overlap=overlap, batch_size=4, blend="hann"),
+    )
+    interior = np.s_[m:-m, m:-m]
+    err_crop = np.abs(np.asarray(crop)[interior] - scene[interior]).max()
+    err_hann = np.abs(np.asarray(hann)[interior] - scene[interior]).max()
+    assert err_crop < 0.5, err_crop  # <= ~3 floored margins vs 1 core
+    assert err_hann > 5.0, err_hann  # the taper alone cannot reject them
+
+
+def test_crop_blend_full_coverage_identity():
+    """Every pixel (incl. scene borders, where only margins contribute)
+    still gets a prediction: identity model reconstructs the scene."""
+    rng = np.random.default_rng(4)
+    scene = rng.normal(size=(50, 44, 3)).astype(np.float32)
+
+    def forward(tiles):
+        return tiles
+
+    out = sliding_window_logits(
+        forward, scene, 3,
+        SlidingWindowConfig(tile_size=32, overlap=16, batch_size=4, blend="crop"),
+    )
+    np.testing.assert_allclose(np.asarray(out), scene, atol=1e-4)

@@ -238,3 +238,22 @@ def test_streamed_sharded_tiles_disjoint_exactly_once():
         per_dev = np.array_split(valid, n_dev)
         counts = [int(v.sum()) for v in per_dev]
         assert max(counts) - min(counts) <= 1, counts
+
+
+def test_streamed_crop_blend_matches_monolithic():
+    """The banded streamer's seam-exactness must hold for blend="crop"
+    (hard 1.0/1e-3 window edges are less forgiving than the Hann taper)."""
+    rng = np.random.default_rng(7)
+    scene = rng.normal(size=(96, 80, 3)).astype(np.float32)
+    cfg = SlidingWindowConfig(tile_size=32, overlap=8, batch_size=4, blend="crop")
+    ref = np.asarray(sliding_window_logits(_toy_forward, scene, 2, cfg))
+
+    got = np.zeros((96, 80, 2), np.float32)
+
+    def write_rows(row0, rows):
+        got[row0 : row0 + rows.shape[0]] = rows
+
+    streamed_scene_logits_writer(
+        _toy_forward, _ArrayReader(scene), write_rows, 2, cfg, band_tile_rows=2
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
