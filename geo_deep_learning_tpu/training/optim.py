@@ -166,6 +166,7 @@ class PlateauController:
     min_lr: float = 0.0
     threshold: float = 1e-4
     base_lr: float = 1e-3
+    eps: float = 1e-8  # torch: skip reductions smaller than this
     scale: float = field(default=1.0, init=False)
     _best: float | None = field(default=None, init=False)
     _bad_epochs: int = field(default=0, init=False)
@@ -179,20 +180,26 @@ class PlateauController:
         return value > self._best * (1.0 + self.threshold)
 
     def update(self, value: float) -> float:
+        # exact torch ReduceLROnPlateau.step() flow (golden-tested in
+        # tests/test_golden_schedulers_samplers.py): cooldown decrements
+        # every epoch — improving or not — and sub-eps reductions are
+        # skipped (but still reset patience/cooldown)
         if self._is_better(value):
             self._best = value
             self._bad_epochs = 0
-        elif self._cooldown_left > 0:
-            self._cooldown_left -= 1
-            self._bad_epochs = 0
         else:
             self._bad_epochs += 1
-            if self._bad_epochs > self.patience:
-                new_lr = max(self.base_lr * self.scale * self.factor, self.min_lr)
+        if self._cooldown_left > 0:
+            self._cooldown_left -= 1
+            self._bad_epochs = 0
+        if self._bad_epochs > self.patience:
+            old_lr = self.base_lr * self.scale
+            new_lr = max(old_lr * self.factor, self.min_lr)
+            if old_lr - new_lr > self.eps:
                 self.scale = new_lr / self.base_lr
-                self._cooldown_left = self.cooldown
-                self._bad_epochs = 0
                 logger.info("ReduceLROnPlateau: lr -> %g", new_lr)
+            self._cooldown_left = self.cooldown
+            self._bad_epochs = 0
         return self.scale
 
     @property

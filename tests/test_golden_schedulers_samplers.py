@@ -15,6 +15,7 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 _REFERENCE = "/root/reference"
@@ -249,3 +250,53 @@ def test_build_schedule_onecycle_streaming_fallback():
 
     lrs = [float(sched(s)) for s in range(expected_total)]
     assert np.argmax(lrs) == pytest.approx(0.3 * expected_total - 1, abs=1.5)
+
+
+@pytest.mark.parametrize(
+    "mode,factor,patience,cooldown,threshold,min_lr",
+    [
+        ("min", 0.1, 2, 0, 1e-4, 0.0),
+        ("min", 0.5, 1, 2, 1e-4, 0.0),      # cooldown interacts with improving epochs
+        ("min", 0.5, 0, 3, 1e-2, 1e-5),
+        ("max", 0.3, 2, 1, 1e-3, 0.0),
+        ("min", 0.1, 10, 0, 1e-4, 0.0),     # reference ReduceLROnPlateau defaults
+    ],
+)
+def test_plateau_controller_matches_torch(
+    mode, factor, patience, cooldown, threshold, min_lr
+):
+    """PlateauController vs torch.optim.lr_scheduler.ReduceLROnPlateau on
+    randomized metric sequences: the LR trajectory must match step for step
+    (reference unetplus config trains with ReduceLROnPlateau,
+    /root/reference/configs/unetplus_config_RGB.yaml)."""
+    import torch
+
+    from geo_deep_learning_tpu.training.optim import PlateauController
+
+    base_lr = 1e-3
+    rng = np.random.default_rng(hash((mode, patience, cooldown)) % 2**32)
+    # noisy plateauing metric: improvements early, flat later + noise spikes
+    seq = np.concatenate(
+        [
+            1.0 - 0.1 * np.arange(5),
+            0.5 + 0.01 * rng.standard_normal(25),
+        ]
+    )
+    if mode == "max":
+        seq = -seq
+
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode=mode, factor=factor, patience=patience,
+        cooldown=cooldown, threshold=threshold, min_lr=min_lr,
+    )
+    ours = PlateauController(
+        mode=mode, factor=factor, patience=patience, cooldown=cooldown,
+        min_lr=min_lr, threshold=threshold, base_lr=base_lr,
+    )
+    for i, v in enumerate(seq):
+        ref.step(float(v))
+        ours.update(float(v))
+        assert ours.lr == pytest.approx(opt.param_groups[0]["lr"], rel=1e-9), (
+            f"step {i}: ours={ours.lr} torch={opt.param_groups[0]['lr']}"
+        )
