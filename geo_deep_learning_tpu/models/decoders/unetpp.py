@@ -58,8 +58,6 @@ class PackedConv3x3(nn.Module):
     features: int
     in_features: int
     use_bias: bool = False
-    winograd: bool = False  # run the packed conv through the fused
-    # Winograd F(2x2,3x3) kernel (ops/pallas/winograd.py) when eligible
     # up2_input: the input is the UNPACKED pre-upsample tensor and this
     # module computes conv3x3(nearest_up2(x)) in packed layout directly
     # via ops/s2d.py:pack_up2_conv3x3_kernel — the tiled-x4 input and the
@@ -92,18 +90,13 @@ class PackedConv3x3(nn.Module):
                 y = y + pack_bias(bias).astype(self.dtype)
             return y
         pk = pack_conv3x3_kernel(kernel.astype(self.dtype))
-        if self.winograd:
-            from geo_deep_learning_tpu.ops.pallas.winograd import winograd_conv3x3
-
-            y = winograd_conv3x3(xp.astype(self.dtype), pk)
-        else:
-            y = jax.lax.conv_general_dilated(
-                xp.astype(self.dtype),
-                pk,
-                (1, 1),
-                "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype),
+            pk,
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,),
@@ -164,7 +157,6 @@ class PackedConvModule(nn.Module):
 
     features: int
     in_features: int
-    winograd: bool = False
     up2_input: bool = False  # see PackedConv3x3.up2_input
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -174,7 +166,6 @@ class PackedConvModule(nn.Module):
         xp = PackedConv3x3(
             self.features,
             self.in_features,
-            winograd=self.winograd and not self.up2_input,
             up2_input=self.up2_input,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -184,125 +175,6 @@ class PackedConvModule(nn.Module):
             xp, train=train
         )
         return nn.relu(xp)
-
-
-class QuadConv3x3(nn.Module):
-    """3x3 conv on the quad-resident (2x2 phase) representation via the
-    fused Winograd kernel (ops/pallas/winograd.py:winograd_conv3x3_quads).
-
-    Declares EXACTLY ``nn.Conv``'s parameters so checkpoints and torch
-    converters are oblivious to the execution layout.
-    """
-
-    features: int
-    in_features: int
-    use_bias: bool = False
-    dtype: Any = jnp.float32
-    param_dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, parts) -> tuple[jnp.ndarray, ...]:
-        """``parts``: list of quad 4-tuples; the conv runs over their
-        channel concatenation WITHOUT materializing it (the multi-part
-        kernel reads each part separately)."""
-        from geo_deep_learning_tpu.ops.pallas.winograd import (
-            winograd_conv3x3_parts,
-        )
-
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, self.in_features, self.features),
-            self.param_dtype,
-        )
-        parts = [tuple(a.astype(self.dtype) for a in xq) for xq in parts]
-        yq = winograd_conv3x3_parts(parts, kernel.astype(self.dtype))
-        if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros_init(), (self.features,),
-                self.param_dtype,
-            )
-            yq = tuple(y + bias.astype(self.dtype) for y in yq)
-        return yq
-
-
-class QuadBatchNorm(nn.Module):
-    """BatchNorm over quads with full-resolution statistics.
-
-    The 4 quads partition the original spatial positions, so statistics
-    over all four equal the full-resolution batch statistics exactly;
-    parameter/batch_stats layout is identical to ``nn.BatchNorm``.
-    """
-
-    channels: int
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, xq, train: bool = False):
-        scale = self.param(
-            "scale", nn.initializers.ones_init(), (self.channels,), jnp.float32
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros_init(), (self.channels,), jnp.float32
-        )
-        ra_mean = self.variable(
-            "batch_stats", "mean", nn.initializers.zeros_init(),
-            jax.random.PRNGKey(0), (self.channels,), jnp.float32,
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", nn.initializers.ones_init(),
-            jax.random.PRNGKey(0), (self.channels,), jnp.float32,
-        )
-        if train:
-            s = jnp.zeros((self.channels,), jnp.float32)
-            sq = jnp.zeros((self.channels,), jnp.float32)
-            n = 0
-            for a in xq:
-                a32 = a.astype(jnp.float32)
-                s = s + jnp.sum(a32, axis=(0, 1, 2))
-                sq = sq + jnp.sum(a32 * a32, axis=(0, 1, 2))
-                n += a.shape[0] * a.shape[1] * a.shape[2]
-            mean = s / n
-            var = sq / n - mean * mean
-            if not self.is_initializing():
-                ra_mean.value = (
-                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
-                )
-                ra_var.value = (
-                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
-                )
-        else:
-            mean, var = ra_mean.value, ra_var.value
-        inv = scale * jax.lax.rsqrt(var + self.epsilon)
-        shift = bias - mean * inv
-        return tuple(
-            (a.astype(jnp.float32) * inv + shift).astype(self.dtype) for a in xq
-        )
-
-
-class QuadConvModule(nn.Module):
-    """Quad-resident twin of ``ConvModule`` (same param tree)."""
-
-    features: int
-    in_features: int
-    dtype: Any = jnp.float32
-    param_dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, parts, train: bool = False):
-        xq = QuadConv3x3(
-            self.features,
-            self.in_features,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="conv",
-        )(parts)
-        xq = QuadBatchNorm(self.features, dtype=self.dtype, name="bn")(
-            xq, train=train
-        )
-        return tuple(nn.relu(a) for a in xq)
 
 
 @jax.custom_vjp
@@ -470,8 +342,6 @@ class DecoderBlock(nn.Module):
 
     features: int
     packed: bool = False
-    quad: bool = False  # quad-resident input/output (pre-concatenated)
-    winograd: bool = False
     # packed + up2_fused: the caller hands the RAW pre-upsample tensor
     # (no skips) and conv1 computes conv3x3(nearest_up2(x)) in packed
     # layout directly (PackedConv3x3.up2_input) — the x4-tiled input
@@ -493,25 +363,6 @@ class DecoderBlock(nn.Module):
         train: bool = False,
         packed_in_features: int | None = None,
     ) -> jnp.ndarray:
-        if self.quad:
-            if skips:
-                msg = "quad DecoderBlock takes a list of quad parts"
-                raise ValueError(msg)
-            in_feats = sum(xq[0].shape[-1] for xq in x)
-            xq = QuadConvModule(
-                self.features,
-                in_feats,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="conv1",
-            )(x, train=train)
-            return QuadConvModule(
-                self.features,
-                self.features,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="conv2",
-            )([xq], train=train)
         if self.packed:
             if skips:
                 msg = "packed DecoderBlock takes a pre-concatenated input"
@@ -526,7 +377,6 @@ class DecoderBlock(nn.Module):
             xp = PackedConvModule(
                 self.features,
                 in_feats,
-                winograd=self.winograd,
                 up2_input=self.up2_fused,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -535,7 +385,6 @@ class DecoderBlock(nn.Module):
             return PackedConvModule(
                 self.features,
                 self.features,
-                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="conv2",
@@ -563,7 +412,7 @@ class DecoderBlock(nn.Module):
                 name="conv1",
             )(x, skip_cat, train=train)
             return ConvModule(
-                self.features, winograd=self.winograd, dtype=self.dtype,
+                self.features, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="conv2"
             )(x, train=train)
         x = resize(x, scale_factor=2.0, method="nearest")
@@ -571,11 +420,11 @@ class DecoderBlock(nn.Module):
             # concat then conv: XLA fuses the concat into the conv read
             x = jnp.concatenate([x, *skips], axis=-1)
         x = ConvModule(
-            self.features, winograd=self.winograd, dtype=self.dtype,
+            self.features, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv1"
         )(x, train=train)
         return ConvModule(
-            self.features, winograd=self.winograd, dtype=self.dtype,
+            self.features, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv2"
         )(x, train=train)
 
@@ -599,12 +448,6 @@ class UnetPlusPlusDecoder(nn.Module):
     # utilization) but LOSES at the 64-channel half-res column (measured
     # 62 -> 85 ms decoder fwd+bwd on v5e) — hence off by default.
     packed_column: bool = False
-    winograd: bool = False  # fused Winograd kernels for eligible 3x3 convs
-    # quad_column: run EVERY dense/backbone node quad-resident (2x2 phase
-    # split held across layers; ops/winograd.py:quad_split) so the fused
-    # Winograd kernels see phase inputs without per-conv split/merge
-    # passes. Identical math and param tree; subsumes packed_column.
-    quad_column: bool = False
     # factored up2+skip first conv at every unpacked dense node (see
     # UpSkipConv3x3); exact math, same param tree — off only for A/B
     up2_factored: bool = True
@@ -629,7 +472,6 @@ class UnetPlusPlusDecoder(nn.Module):
         def block(d: int, j: int, x, skips):
             return DecoderBlock(
                 out_ch[j] if d == 0 else skip_ch[j],
-                winograd=self.winograd,
                 up2_factored=self.up2_factored,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -640,14 +482,10 @@ class UnetPlusPlusDecoder(nn.Module):
             return DecoderBlock(
                 out_ch[j] if d == 0 else skip_ch[j],
                 packed=True,
-                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_{d}_{j}",
             )(xp, (), train=train, packed_in_features=in_feats)
-
-        if self.quad_column:
-            return self._quad_forward(feats, depth, out_ch, skip_ch, train)
 
         # with packed_tail, the finest column (j == depth-1, the nodes at
         # 1/2 input resolution) and the final full-res block execute in
@@ -696,7 +534,6 @@ class UnetPlusPlusDecoder(nn.Module):
             out = DecoderBlock(
                 out_ch[depth],
                 packed=True,
-                winograd=self.winograd,
                 up2_fused=True,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -705,7 +542,6 @@ class UnetPlusPlusDecoder(nn.Module):
         else:
             out = DecoderBlock(
                 out_ch[depth],
-                winograd=self.winograd,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_0_{depth}",
@@ -715,63 +551,5 @@ class UnetPlusPlusDecoder(nn.Module):
             for d in range(depth - 1, -1, -1):
                 v = dense[(d, depth - 1)]
                 ds.append(depth_to_space(v) if depth - 1 == packed_j else v)
-            return out, ds
-        return out
-
-    def _quad_forward(self, feats, depth, out_ch, skip_ch, train):
-        """Quad-resident dense pathway: every node's activations live as
-        2x2 phase quads, so Winograd convs consume/produce phases without
-        per-conv split/merge HBM passes. Nearest-up2 is FREE in quad space
-        (all four phases of up2(x) equal x), concat/BN/ReLU apply per
-        quad, and statistics are exact (quads partition the positions).
-        """
-        from geo_deep_learning_tpu.ops.winograd import quad_merge, quad_split
-
-        def quad_block(d: int, j: int, xq):
-            return DecoderBlock(
-                out_ch[j] if d == 0 else skip_ch[j],
-                quad=True,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"x_{d}_{j}",
-            )(xq, (), train=train)
-
-        featq: dict[int, tuple] = {}
-        dense: dict[tuple[int, int], tuple] = {}
-        for layer in range(depth):
-            for d in range(depth - layer):
-                j = d + layer
-                # up2-nearest of the previous node: all 4 phases == source
-                x_m = feats[d] if layer == 0 else quad_merge(dense[(d, j - 1)])
-                if j not in featq:
-                    featq[j] = quad_split(feats[j + 1])
-                parts = [(x_m, x_m, x_m, x_m)]
-                parts += [dense[(i, j)] for i in range(d + 1, j + 1)]
-                parts.append(featq[j])
-                dense[(d, j)] = quad_block(d, j, parts)
-        m = quad_merge(dense[(0, depth - 1)])
-        if self.packed_tail:
-            out = DecoderBlock(
-                out_ch[depth],
-                packed=True,
-                winograd=self.winograd,
-                up2_fused=True,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"x_0_{depth}",
-            )(m, (), train=train)
-        else:
-            out = DecoderBlock(
-                out_ch[depth],
-                winograd=self.winograd,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"x_0_{depth}",
-            )(m, (), train=train)
-        if self.deep_supervision:
-            ds = [
-                quad_merge(dense[(d, depth - 1)])
-                for d in range(depth - 1, -1, -1)
-            ]
             return out, ds
         return out

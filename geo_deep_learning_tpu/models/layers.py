@@ -43,53 +43,24 @@ class ConvModule(nn.Module):
     act: Callable | None = nn.relu
     transpose: bool = False
     use_bias: bool | None = None  # default: bias iff no norm
-    # winograd: EXPERIMENTAL — route eligible 3x3 convs through the fused
-    # F(2x2,3x3) kernel (ops/pallas/winograd.py). The kernel is 2.5x
-    # faster than direct conv in isolation but loses end-to-end to XLA's
-    # conv fusion economics, and large optimizer steps containing many
-    # instances were observed to fault the TPU worker — see BASELINE.md
-    # "Winograd investigation". Keep off in production paths.
-    winograd: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
-
-    def _winograd_applies(self, x: jnp.ndarray) -> bool:
-        from geo_deep_learning_tpu.ops.pallas.winograd import eligible
-
-        return (
-            self.winograd
-            and not self.transpose
-            and self.kernel_size == (3, 3)
-            and self.strides == (1, 1)
-            and self.dilation == (1, 1)
-            and self.padding == "SAME"
-            and eligible(x.shape, (3, 3, x.shape[-1], self.features)) is not None
-        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         use_bias = self.use_bias if self.use_bias is not None else not self.use_norm
-        if self._winograd_applies(x):
-            x = WinogradConv3x3(
-                self.features,
-                use_bias=use_bias,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="conv",
-            )(x)
-        else:
-            conv_cls = nn.ConvTranspose if self.transpose else nn.Conv
-            x = conv_cls(
-                self.features,
-                self.kernel_size,
-                strides=self.strides,
-                padding=self.padding,
-                kernel_dilation=self.dilation,
-                use_bias=use_bias,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="conv",
-            )(x)
+        conv_cls = nn.ConvTranspose if self.transpose else nn.Conv
+        x = conv_cls(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            kernel_dilation=self.dilation,
+            use_bias=use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
         if self.use_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -104,38 +75,6 @@ class ConvModule(nn.Module):
         return x
 
 
-class WinogradConv3x3(nn.Module):
-    """Stride-1 SAME 3x3 conv through the fused Winograd F(2x2,3x3)
-    Pallas kernel (ops/pallas/winograd.py).
-
-    Declares EXACTLY ``nn.Conv``'s parameters (``kernel`` [3,3,in,out],
-    optional ``bias`` [out], same initializers) so checkpoints, torch
-    converters, and golden tests are oblivious to the execution path.
-    """
-
-    features: int
-    use_bias: bool = False
-    dtype: Dtype = jnp.float32
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from geo_deep_learning_tpu.ops.pallas.winograd import winograd_conv3x3
-
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.features),
-            self.param_dtype,
-        )
-        y = winograd_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
-        if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros_init(), (self.features,),
-                self.param_dtype,
-            )
-            y = y + bias.astype(self.dtype)
-        return y
 
 
 class PPM(nn.Module):

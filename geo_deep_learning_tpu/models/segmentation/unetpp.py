@@ -34,8 +34,6 @@ class UnetPlusPlus(nn.Module):
     decoder_channels: tuple[int, ...] = (256, 128, 64, 32, 16)
     packed_tail: bool = True
     packed_column: bool = False  # see UnetPlusPlusDecoder.packed_column
-    winograd: bool = False  # fused Winograd kernels for eligible 3x3 convs
-    quad_column: bool = False  # quad-resident dense pathway (see decoder)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -51,8 +49,6 @@ class UnetPlusPlus(nn.Module):
             decoder_channels=self.decoder_channels,
             packed_tail=self.packed_tail,
             packed_column=self.packed_column,
-            winograd=self.winograd,
-            quad_column=self.quad_column,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="decoder",
@@ -63,7 +59,6 @@ class UnetPlusPlus(nn.Module):
                     self.num_classes,
                     self.decoder_channels[-1],
                     use_bias=True,
-                    winograd=self.winograd,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name="head",
