@@ -46,10 +46,12 @@ CANDIDATES: list[list[str]] = [
 ]
 
 
-def run_one(flags: list[str], model: str, steps: int, batch: int | None) -> dict:
+def run_one(
+    flags: list[str], model: str, steps: int, batch: int | None, var: str
+) -> dict:
     env = dict(os.environ)
     if flags:
-        env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " " + " ".join(flags)
+        env[var] = (env.get(var, "") + " " + " ".join(flags)).strip()
     cmd = [sys.executable, "bench.py", "--model", model, "--steps", str(steps)]
     if batch:
         cmd += ["--batch", str(batch)]
@@ -75,12 +77,19 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--flags", default=None, help="run a single flag set instead")
+    p.add_argument(
+        "--var",
+        default="LIBTPU_INIT_ARGS",
+        help="env var carrying the flags; the local XLA client rejects "
+        "--xla_tpu_* in XLA_FLAGS (unknown-flag fatal), but libtpu reads "
+        "its own flags from LIBTPU_INIT_ARGS",
+    )
     args = p.parse_args()
 
     sets = [args.flags.split()] if args.flags else CANDIDATES
     results = []
     for flags in sets:
-        row = run_one(flags, args.model, args.steps, args.batch)
+        row = run_one(flags, args.model, args.steps, args.batch, args.var)
         results.append(row)
         print(json.dumps(row), flush=True)
     ok = [r for r in results if "patches_per_sec" in r]
