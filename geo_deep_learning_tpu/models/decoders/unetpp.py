@@ -233,6 +233,87 @@ def _up2_conv_bwd(res, dy):
 _up2_conv.defvjp(_up2_conv_fwd, _up2_conv_bwd)
 
 
+def _up2_conv_apply(x_src: jnp.ndarray, ku: jnp.ndarray) -> jnp.ndarray:
+    """``conv3x3(nearest_up2(x_src))`` via :func:`_up2_conv`.
+
+    nearest-up2 = zero-dilation followed by a ones(2,2) box filter, and
+    convolution composes: the effective 4x4 kernel is ``ku (.) ones(2,2)``
+    and the lhs-dilated conv emits interleaved target-resolution output
+    directly (no materialized upsample, no depth_to_space shuffle).
+    """
+    pad = jnp.pad
+    k_eff = (
+        pad(ku, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        + pad(ku, ((0, 1), (1, 0), (0, 0), (0, 0)))
+        + pad(ku, ((1, 0), (0, 1), (0, 0), (0, 0)))
+        + pad(ku, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    )
+    return _up2_conv(x_src, k_eff)
+
+
+class _Conv3x3Kernel(nn.Module):
+    """Parameter shell: declares exactly ``nn.Conv``'s 3x3 kernel (same
+    name, shape, initializer) without executing anything, so a parent can
+    slice/merge it across modules at trace time."""
+
+    features: int
+    in_features: int
+    param_dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            self.param_dtype,
+        )
+
+
+class _Conv1Shell(nn.Module):
+    """Parameter shell for a decoder node's first conv+BN (child names
+    ``conv``/``bn`` — identical tree to ``UpSkipConvModule``); the parent
+    owns execution order so per-source contributions from MERGED convs can
+    be accumulated before the BN runs."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.conv = _Conv3x3Kernel(
+            self.features, self.in_features, param_dtype=self.param_dtype
+        )
+        self.bn = nn.BatchNorm(
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+
+
+class _DenseNodeShell(nn.Module):
+    """One dense decoder node's parameters (``conv1`` shell + ``conv2``
+    ConvModule) under the node's ``x_{d}_{j}`` scope — same tree as
+    ``DecoderBlock``."""
+
+    features: int
+    in_features: int  # conv1 total input channels (up + all skips)
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.conv1 = _Conv1Shell(
+            self.features,
+            self.in_features,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        self.conv2 = ConvModule(
+            self.features, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+
+
 class UpSkipConv3x3(nn.Module):
     """``conv3x3(concat(nearest_up2(x), skips))`` without materializing
     the upsample: the kernel's up-slice runs at SOURCE resolution through
@@ -269,21 +350,10 @@ class UpSkipConv3x3(nn.Module):
             self.param_dtype,
         )
         k = kernel.astype(self.dtype)
-        # conv3x3(nearest_up2(x)) == lhs-dilated conv with the 4x4
-        # kernel K (.) ones(2,2) (nearest-up2 = zero-dilation followed by
-        # a ones(2) box filter, and convolution composes): the output
-        # comes out interleaved at target resolution directly — no
-        # depth_to_space shuffle (a packed [3,3,C,4O] variant measured
-        # +9 ms/step of layout copies from the d2s).
-        ku = k[:, :, : self.up_features]
-        pad = jnp.pad
-        k_eff = (
-            pad(ku, ((0, 1), (0, 1), (0, 0), (0, 0)))
-            + pad(ku, ((0, 1), (1, 0), (0, 0), (0, 0)))
-            + pad(ku, ((1, 0), (0, 1), (0, 0), (0, 0)))
-            + pad(ku, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        )
-        up = _up2_conv(x_src.astype(self.dtype), k_eff)
+        # conv3x3(nearest_up2(x)) as a single lhs-dilated conv (see
+        # _up2_conv_apply; a packed [3,3,C,4O] variant measured +9 ms/step
+        # of layout copies from the d2s).
+        up = _up2_conv_apply(x_src.astype(self.dtype), k[:, :, : self.up_features])
         sk = jax.lax.conv_general_dilated(
             skip_cat.astype(self.dtype),
             k[:, :, self.up_features :],
@@ -451,6 +521,17 @@ class UnetPlusPlusDecoder(nn.Module):
     # factored up2+skip first conv at every unpacked dense node (see
     # UpSkipConv3x3); exact math, same param tree — off only for A/B
     up2_factored: bool = True
+    # merged-source skip convs: in the factored form, every node's skip
+    # contribution is conv(source, kernel-slice) summed per source
+    # (conv-of-concat == sum of per-part convs). Each shared source tensor
+    # (an encoder skip or an earlier dense node) is consumed by SEVERAL
+    # nodes at its level, each with a lane-limited O∈{16..64} kernel; this
+    # flag runs ONE conv per source whose kernel is the trace-time concat
+    # of every consumer's slice (O up to 224 at the ResNet-34 finest
+    # column — full 128 MXU lanes for both forward and weight-grad),
+    # consumers take channel slices of the output. Identical FLOPs, exact
+    # math up to float reassociation, unchanged param tree.
+    merged_skips: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -495,6 +576,101 @@ class UnetPlusPlusDecoder(nn.Module):
 
         dense: dict[tuple[int, int], jnp.ndarray] = {}
         node_ch: dict[tuple[int, int], int] = {}
+        if self.up2_factored and self.merged_skips and packed_j < 0:
+            # ---- merged-source execution of the dense grid ----
+            up_ch: dict[tuple[int, int], int] = {}
+            shells: dict[tuple[int, int], _DenseNodeShell] = {}
+            for layer in range(depth):
+                for d in range(depth - layer):
+                    j = d + layer
+                    node_ch[(d, j)] = out_ch[j] if d == 0 else skip_ch[j]
+                    up_ch[(d, j)] = (
+                        feats[d].shape[-1] if layer == 0 else node_ch[(d, j - 1)]
+                    )
+                    c_in = up_ch[(d, j)] + feats[j + 1].shape[-1]
+                    c_in += sum(node_ch[(i, j)] for i in range(d + 1, j + 1))
+                    shells[(d, j)] = _DenseNodeShell(
+                        node_ch[(d, j)],
+                        c_in,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"x_{d}_{j}",
+                    )
+
+            def src_offset(d: int, j: int, i: int) -> int:
+                # conv1 input-dim offset of source block ``i`` in node
+                # (d, j)'s kernel; concat order is up, dense(d+1..j, j),
+                # feats[j+1] (i == j+1 addresses the encoder skip)
+                off = up_ch[(d, j)]
+                for ii in range(d + 1, min(i, j + 1)):
+                    off += node_ch[(ii, j)]
+                return off
+
+            contrib: dict[tuple[int, int], list[jnp.ndarray]] = {}
+
+            def run_source(src: jnp.ndarray, i: int, j: int) -> None:
+                # one conv of ``src`` against the trace-time O-concat of
+                # every consumer's kernel slice; consumers (d, j) for
+                # d < min(i, j+1) each take a channel slice of the output
+                consumers = list(range(min(i, j + 1)))
+                w = src.shape[-1]
+                slices, sizes = [], []
+                for d in consumers:
+                    k = shells[(d, j)].conv1.conv.kernel.astype(self.dtype)
+                    off = src_offset(d, j, i)
+                    slices.append(k[:, :, off : off + w])
+                    sizes.append(node_ch[(d, j)])
+                merged = (
+                    jnp.concatenate(slices, axis=-1)
+                    if len(slices) > 1
+                    else slices[0]
+                )
+                y = jax.lax.conv_general_dilated(
+                    src.astype(self.dtype),
+                    merged,
+                    (1, 1),
+                    "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                o = 0
+                for d, sz in zip(consumers, sizes):
+                    contrib.setdefault((d, j), []).append(y[..., o : o + sz])
+                    o += sz
+
+            for j in range(depth):
+                run_source(feats[j + 1], j + 1, j)
+            for layer in range(depth):
+                for d in range(depth - layer):
+                    j = d + layer
+                    shell = shells[(d, j)]
+                    x_up = feats[d] if layer == 0 else dense[(d, j - 1)]
+                    k = shell.conv1.conv.kernel.astype(self.dtype)
+                    y = _up2_conv_apply(
+                        x_up.astype(self.dtype), k[:, :, : up_ch[(d, j)]]
+                    )
+                    for t in contrib.pop((d, j)):
+                        y = y + t
+                    y = nn.relu(
+                        shell.conv1.bn(y, use_running_average=not train)
+                    )
+                    dense[(d, j)] = shell.conv2(y, train=train)
+                    if d > 0:
+                        run_source(dense[(d, j)], d, j)
+            if self.deep_supervision:
+                ds = [
+                    dense[(d, depth - 1)] for d in range(depth - 1, -1, -1)
+                ]
+            out = DecoderBlock(
+                out_ch[depth],
+                packed=self.packed_tail,
+                up2_fused=self.packed_tail,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"x_0_{depth}",
+            )(dense[(0, depth - 1)], (), train=train)
+            if self.deep_supervision:
+                return out, ds
+            return out
         feat_last_packed = (
             space_to_depth(feats[depth]) if packed_j >= 0 else None
         )
