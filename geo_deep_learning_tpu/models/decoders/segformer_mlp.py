@@ -19,6 +19,10 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from geo_deep_learning_tpu.models.layers import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 from geo_deep_learning_tpu.ops.resize import resize
 
 
@@ -37,8 +41,11 @@ class SegFormerMLPDecoder(nn.Module):
         target_hw = c1.shape[1:3]
         projected = []
         for i, c in enumerate((c4, c3, c2, c1), start=1):
+            # reference MLP projections are raw torch Linears (default init)
             p = nn.Dense(
                 self.embedding_dim,
+                kernel_init=torch_default_kernel_init(),
+                bias_init=torch_default_bias_init(c.shape[-1]),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"linear_c{5 - i}",
@@ -51,6 +58,7 @@ class SegFormerMLPDecoder(nn.Module):
             self.embedding_dim,
             (1, 1),
             use_bias=False,
+            kernel_init=torch_default_kernel_init(),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="linear_fuse",
@@ -68,6 +76,8 @@ class SegFormerMLPDecoder(nn.Module):
         return nn.Conv(
             self.num_classes,
             (1, 1),
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(self.embedding_dim),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="linear_pred",

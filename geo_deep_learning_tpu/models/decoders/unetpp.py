@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from geo_deep_learning_tpu.models.layers import ConvModule
+from geo_deep_learning_tpu.models.layers import (
+    ConvModule,
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 from geo_deep_learning_tpu.ops.resize import resize
 from geo_deep_learning_tpu.ops.s2d import (
     depth_to_space,
@@ -70,7 +74,7 @@ class PackedConv3x3(nn.Module):
     def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_default_kernel_init(),
             (3, 3, self.in_features, self.features),
             self.param_dtype,
         )
@@ -84,7 +88,7 @@ class PackedConv3x3(nn.Module):
             )
             if self.use_bias:
                 bias = self.param(
-                    "bias", nn.initializers.zeros_init(), (self.features,),
+                    "bias", torch_default_bias_init(9 * self.in_features), (self.features,),
                     self.param_dtype,
                 )
                 y = y + pack_bias(bias).astype(self.dtype)
@@ -99,7 +103,7 @@ class PackedConv3x3(nn.Module):
         )
         if self.use_bias:
             bias = self.param(
-                "bias", nn.initializers.zeros_init(), (self.features,),
+                "bias", torch_default_bias_init(9 * self.in_features), (self.features,),
                 self.param_dtype,
             )
             y = y + pack_bias(bias).astype(self.dtype)
@@ -263,7 +267,7 @@ class _Conv3x3Kernel(nn.Module):
     def setup(self) -> None:
         self.kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_default_kernel_init(),
             (3, 3, self.in_features, self.features),
             self.param_dtype,
         )
@@ -345,7 +349,7 @@ class UpSkipConv3x3(nn.Module):
     ) -> jnp.ndarray:
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_default_kernel_init(),
             (3, 3, self.up_features + self.skip_features, self.features),
             self.param_dtype,
         )
@@ -531,6 +535,11 @@ class UnetPlusPlusDecoder(nn.Module):
     # column — full 128 MXU lanes for both forward and weight-grad),
     # consumers take channel slices of the output. Identical FLOPs, exact
     # math up to float reassociation, unchanged param tree.
+    # PRECEDENCE: when packed_tail AND packed_column are both set, the
+    # finest column executes space-to-depth packed and merged_skips is
+    # IGNORED for the whole grid (the packed column cannot consume merged
+    # slices). A/B runs comparing these flags should set packed_column
+    # XOR merged_skips; a trace-time warning flags the shadowed combination.
     merged_skips: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -573,6 +582,14 @@ class UnetPlusPlusDecoder(nn.Module):
         # space-to-depth layout (ops/s2d.py): identical math, 4x-wider
         # GEMMs at 1/4 the spatial positions for the MXU
         packed_j = depth - 1 if (self.packed_tail and self.packed_column) else -1
+        if packed_j >= 0 and self.merged_skips:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "UnetPlusPlusDecoder: packed_column takes precedence — "
+                "merged_skips is ignored while the finest column runs "
+                "space-to-depth packed"
+            )
 
         dense: dict[tuple[int, int], jnp.ndarray] = {}
         node_ch: dict[tuple[int, int], int] = {}

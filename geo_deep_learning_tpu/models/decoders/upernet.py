@@ -17,6 +17,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from geo_deep_learning_tpu.models.layers import ConvModule, PPM
+from geo_deep_learning_tpu.models.layers import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 from geo_deep_learning_tpu.ops.fused_upconv import resize_conv3x3_factored
 from geo_deep_learning_tpu.ops.resize import resize
 
@@ -32,7 +36,7 @@ class _ConvKernel(nn.Module):
     @nn.compact
     def __call__(self) -> jnp.ndarray:
         return self.param(
-            "kernel", nn.initializers.lecun_normal(), self.shape, self.param_dtype
+            "kernel", torch_default_kernel_init(), self.shape, self.param_dtype
         )
 
 
@@ -118,8 +122,14 @@ class UperNetDecoder(nn.Module):
         if self.scale_modules:
             # plain-ViT taps are all at one resolution; build a pyramid
             d0 = inputs[0].shape[-1]
+            convt_init = dict(
+                kernel_init=nn.initializers.variance_scaling(
+                    1.0 / 3.0, "fan_out", "uniform"
+                ),
+            )
             x0 = nn.ConvTranspose(
                 d0 // 2, (2, 2), strides=(2, 2),
+                bias_init=torch_default_bias_init(4 * (d0 // 2)), **convt_init,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="fpn1_up1",
             )(inputs[0])
             x0 = nn.BatchNorm(
@@ -129,11 +139,13 @@ class UperNetDecoder(nn.Module):
             x0 = nn.gelu(x0)
             x0 = nn.ConvTranspose(
                 d0 // 4, (2, 2), strides=(2, 2),
+                bias_init=torch_default_bias_init(4 * (d0 // 4)), **convt_init,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="fpn1_up2",
             )(x0)
             d1 = inputs[1].shape[-1]
             x1 = nn.ConvTranspose(
                 d1 // 2, (2, 2), strides=(2, 2),
+                bias_init=torch_default_bias_init(4 * (d1 // 2)), **convt_init,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="fpn2_up",
             )(inputs[1])
             x2 = inputs[2]

@@ -38,7 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from geo_deep_learning_tpu.models.layers import DropPath
+from geo_deep_learning_tpu.models.layers import (
+    DropPath,
+    torch_default_bias_init,
+    torch_default_kernel_init,
+    xavier_uniform_flat,
+)
 
 Dtype = Any
 
@@ -79,9 +84,15 @@ class FCResLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Dense(self.size, dtype=self.dtype, param_dtype=self.param_dtype, name="w1")(x)
+        # reference DOFAv2Embedding._init_weights (:140-146): every Linear
+        # under it gets xavier_uniform weights + 0.01-filled biases
+        init = dict(
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.constant(0.01),
+        )
+        y = nn.Dense(self.size, dtype=self.dtype, param_dtype=self.param_dtype, name="w1", **init)(x)
         y = nn.relu(y)
-        y = nn.Dense(self.size, dtype=self.dtype, param_dtype=self.param_dtype, name="w2")(y)
+        y = nn.Dense(self.size, dtype=self.dtype, param_dtype=self.param_dtype, name="w2", **init)(y)
         y = nn.relu(y)
         return x + y
 
@@ -98,8 +109,16 @@ class _PostNormEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
+        # torch MHA _reset_parameters: in_proj xavier_uniform over the
+        # FLAT [3D, D] matrix (fans D/3D — flax's per-head shape would
+        # derive different fans), in_proj_bias zeros; out_proj is an
+        # nn.Linear so the reference's xavier+0.01 sweep re-inits it
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
+            kernel_init=xavier_uniform_flat(d, 3 * d),
+            bias_init=nn.initializers.zeros_init(),
+            out_kernel_init=xavier_uniform_flat(d, d),
+            out_bias_init=nn.initializers.constant(0.01),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="self_attn",
@@ -107,9 +126,13 @@ class _PostNormEncoderLayer(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(
             x + attn
         )
-        y = nn.Dense(self.d_ff, dtype=self.dtype, param_dtype=self.param_dtype, name="linear1")(x)
+        ffn_init = dict(
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.constant(0.01),
+        )
+        y = nn.Dense(self.d_ff, dtype=self.dtype, param_dtype=self.param_dtype, name="linear1", **ffn_init)(x)
         y = nn.gelu(y)
-        y = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="linear2")(y)
+        y = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype, name="linear2", **ffn_init)(y)
         return nn.LayerNorm(
             dtype=self.dtype, param_dtype=self.param_dtype, name="norm2"
         )(x + y)
@@ -148,13 +171,17 @@ class TransformerWeightGenerator(nn.Module):
         )(x[None])[0]
         n_waves = waves.shape[0]
         wave_out = x[self.num_tokens : self.num_tokens + n_waves]
+        gen_init = dict(
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.constant(0.01),
+        )  # reference _init_weights sweep (:140-146)
         weights = nn.Dense(
             self.output_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="fc_weight",
+            name="fc_weight", **gen_init,
         )(wave_out + waves)
         bias = nn.Dense(
             self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="fc_bias",
+            name="fc_bias", **gen_init,
         )(x[-1])
         return weights, bias
 
@@ -250,15 +277,20 @@ class _ProjParams(nn.Module):
 
     @nn.compact
     def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        # the reference's timm Blocks are built raw (no init sweep), so
+        # the qkv Linear carries torch defaults: kaiming_uniform(a=√5)
+        # over the [3D, D] weight (fan_in = D) + bias U(±1/√D)
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform", in_axis=0, out_axis=(1, 2)
+            ),
             (self.d, self.heads, self.head_dim),
             self.param_dtype,
         )
         bias = self.param(
             "bias",
-            nn.initializers.zeros_init(),
+            torch_default_bias_init(self.d),
             (self.heads, self.head_dim),
             self.param_dtype,
         )
@@ -277,16 +309,20 @@ class _OutParams(nn.Module):
 
     @nn.compact
     def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        # timm Attention.proj is a raw torch Linear(D, D): torch defaults
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(
-                1.0, "fan_in", "truncated_normal", in_axis=(0, 1), out_axis=2
+                1.0 / 3.0, "fan_in", "uniform", in_axis=(0, 1), out_axis=2
             ),
             (self.heads, self.head_dim, self.d),
             self.param_dtype,
         )
         bias = self.param(
-            "bias", nn.initializers.zeros_init(), (self.d,), self.param_dtype
+            "bias",
+            torch_default_bias_init(self.heads * self.head_dim),
+            (self.d,),
+            self.param_dtype,
         )
         return kernel, bias
 
@@ -305,14 +341,15 @@ class _ScaledDense(nn.Module):
     def __call__(
         self, x: jnp.ndarray, scale: jnp.ndarray | None = None
     ) -> jnp.ndarray:
+        # twin of a raw torch Linear: torch default init
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_default_kernel_init(),
             (x.shape[-1], self.features),
             self.param_dtype,
         )
         bias = self.param(
-            "bias", nn.initializers.zeros_init(), (self.features,),
+            "bias", torch_default_bias_init(x.shape[-1]), (self.features,),
             self.param_dtype,
         )
         if scale is not None:
@@ -504,7 +541,10 @@ class ViTBlock(nn.Module):
             name="norm2",
         )(s1, a)
         y = nn.Dense(
-            int(d * self.mlp_ratio), dtype=self.dtype, param_dtype=self.param_dtype,
+            int(d * self.mlp_ratio),
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(d),
+            dtype=self.dtype, param_dtype=self.param_dtype,
             name="mlp_fc1",
         )(y)
         y = nn.gelu(y)

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from geo_deep_learning_tpu.models.layers import DropPath, trunc_normal_init
+from geo_deep_learning_tpu.models.layers import (
+    DropPath,
+    kaiming_normal_conv_out,
+    torch_default_bias_init,
+    torch_default_kernel_init,
+    trunc_normal_init,
+)
 
 Dtype = Any
 
@@ -51,6 +57,7 @@ class MixFFN(nn.Module):
             self.hidden_dim,
             (3, 3),
             feature_group_count=self.hidden_dim,
+            kernel_init=kaiming_normal_conv_out(groups=self.hidden_dim),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="dwconv",
@@ -102,6 +109,7 @@ class SRAttention(nn.Module):
                 (self.sr_ratio, self.sr_ratio),
                 strides=(self.sr_ratio, self.sr_ratio),
                 padding="VALID",  # torch sr conv has padding 0
+                kernel_init=kaiming_normal_conv_out(),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="sr",
@@ -201,6 +209,7 @@ class OverlapPatchEmbed(nn.Module):
             (self.patch_size, self.patch_size),
             strides=(self.stride, self.stride),
             padding=[(p, p), (p, p)],
+            kernel_init=kaiming_normal_conv_out(),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="proj",
@@ -330,15 +339,19 @@ class DynamicChannelEmbed(nn.Module):
         pos_enc = pos_enc.astype(self.dtype)
 
         # per-channel weight from a small MLP (tanh-bounded)
+        tdef = lambda fan: dict(
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(fan),
+        )
         cw = nn.Dense(
             self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="weight_gen1",
+            name="weight_gen1", **tdef(pos_enc.shape[-1]),
         )(pos_enc)
         cw = nn.relu(cw)
         cw = nn.tanh(
             nn.Dense(
                 self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                name="weight_gen2",
+                name="weight_gen2", **tdef(self.hidden_dim),
             )(cw)
         )  # [C, D]
 
@@ -350,6 +363,10 @@ class DynamicChannelEmbed(nn.Module):
             (self.patch_size, self.patch_size),
             strides=(self.stride, self.stride),
             padding=[(p, p), (p, p)],
+            # raw torch Conv2d in the reference (no init sweep runs over
+            # the Dynamic* classes): torch defaults
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(self.patch_size**2),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="spatial_conv",
@@ -365,16 +382,18 @@ class DynamicChannelEmbed(nn.Module):
         attn_in = jnp.concatenate([xw, pos_b], axis=-1)
         a = nn.Dense(
             self.embed_dim // 2, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="channel_attn1",
+            name="channel_attn1", **tdef(attn_in.shape[-1]),
         )(attn_in)
         a = nn.relu(a)
         a = nn.Dense(
-            1, dtype=self.dtype, param_dtype=self.param_dtype, name="channel_attn2"
+            1, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="channel_attn2", **tdef(self.embed_dim // 2),
         )(a)  # [B, C, ho, wo, 1]
         a = nn.softmax(a, axis=1)
         agg = jnp.sum(xw * a, axis=1)  # [B, ho, wo, D]
         agg = nn.Dense(
-            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj"
+            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="proj", **tdef(self.embed_dim),
         )(agg)
         return nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"

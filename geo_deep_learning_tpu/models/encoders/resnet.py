@@ -19,6 +19,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from geo_deep_learning_tpu.models.layers import torch_default_kernel_init
+
 Dtype = Any
 
 
@@ -49,20 +51,20 @@ class BasicBlock(nn.Module):
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
             padding=[(1, 1), (1, 1)],
-            use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            use_bias=False, kernel_init=torch_default_kernel_init(), dtype=self.dtype, param_dtype=self.param_dtype,
             name="conv1",
         )(x)
         y = _bn(train, self.dtype, "bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
-            self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, kernel_init=torch_default_kernel_init(),
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
         )(y)
         y = _bn(train, self.dtype, "bn2")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
                 self.features, (1, 1), strides=(self.strides, self.strides),
-                use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+                use_bias=False, kernel_init=torch_default_kernel_init(), dtype=self.dtype, param_dtype=self.param_dtype,
                 name="downsample_conv",
             )(residual)
             residual = _bn(train, self.dtype, "downsample_bn")(residual)
@@ -84,7 +86,7 @@ class Bottleneck(nn.Module):
         residual = x
         out_features = self.features * self.expansion
         y = nn.Conv(
-            self.features, (1, 1), use_bias=False,
+            self.features, (1, 1), use_bias=False, kernel_init=torch_default_kernel_init(),
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
         )(x)
         y = _bn(train, self.dtype, "bn1")(y)
@@ -92,20 +94,20 @@ class Bottleneck(nn.Module):
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
             padding=[(1, 1), (1, 1)],
-            feature_group_count=self.groups, use_bias=False,
+            feature_group_count=self.groups, use_bias=False, kernel_init=torch_default_kernel_init(),
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
         )(y)
         y = _bn(train, self.dtype, "bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(
-            out_features, (1, 1), use_bias=False,
+            out_features, (1, 1), use_bias=False, kernel_init=torch_default_kernel_init(),
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv3",
         )(y)
         y = _bn(train, self.dtype, "bn3")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
                 out_features, (1, 1), strides=(self.strides, self.strides),
-                use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+                use_bias=False, kernel_init=torch_default_kernel_init(), dtype=self.dtype, param_dtype=self.param_dtype,
                 name="downsample_conv",
             )(residual)
             residual = _bn(train, self.dtype, "downsample_bn")(residual)
@@ -155,7 +157,7 @@ class ResNetEncoder(nn.Module):
     ) -> list[jnp.ndarray]:
         cfg = resnet_configs[self.variant]
         x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, kernel_init=torch_default_kernel_init(),
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
         )(x)
         x = _bn(train, self.dtype, "bn1")(x)

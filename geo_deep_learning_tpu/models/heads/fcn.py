@@ -12,7 +12,11 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from geo_deep_learning_tpu.models.layers import ConvModule
+from geo_deep_learning_tpu.models.layers import (
+    ConvModule,
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 
 class FCNHead(nn.Module):
@@ -56,6 +60,8 @@ class FCNHead(nn.Module):
         return nn.Conv(
             self.num_classes,
             (1, 1),
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(feats.shape[-1]),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="cls_seg",

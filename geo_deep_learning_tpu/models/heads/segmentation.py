@@ -10,6 +10,11 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from geo_deep_learning_tpu.models.layers import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
+
 
 class SegmentationHead(nn.Module):
     """Project decoder features to class logits with a 1x1 conv."""
@@ -20,9 +25,12 @@ class SegmentationHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # reference uses a raw torch Conv2d (torch-default init)
         return nn.Conv(
             self.num_classes,
             (1, 1),
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(x.shape[-1]),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",

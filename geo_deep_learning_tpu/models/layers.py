@@ -14,8 +14,10 @@ default here — no wrapper needed.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,10 +30,72 @@ def trunc_normal_init(stddev: float = 0.02):
     return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
 
 
+def torch_default_kernel_init():
+    """torch ``nn.Conv2d``/``nn.Linear`` default weight init.
+
+    ``kaiming_uniform_(a=sqrt(5))`` == U(±sqrt(1/fan_in)), and flax's
+    ``variance_scaling(1/3, "fan_in", "uniform")`` draws
+    U(±sqrt(3·(1/3)/fan_in)) — identical. The quality-parity study
+    (BASELINE.md "Quality parity", runs_evidence/parity_r4/) measured the
+    flax ``lecun_normal`` default costing UNet++ 3.2 val-mIoU points vs
+    the torch reference on the same recipe; this init closes the gap
+    exactly (0.4762 vs 0.4749 torch).
+    """
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_default_bias_init(fan_in: int):
+    """torch ``nn.Conv2d``/``nn.Linear`` default bias init:
+    U(±1/sqrt(fan_in)) with fan_in of the WEIGHT (in_features × receptive
+    field)."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
+
+def kaiming_normal_conv_out(groups: int = 1):
+    """Reference MiT conv init (mix_transformer.py:49-54):
+    N(0, sqrt(2/fan_out)) with fan_out = kh·kw·out_ch / groups. Flax's
+    ``variance_scaling`` cannot express the groups division, so compute
+    from the HWIO kernel shape directly."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_out = shape[0] * shape[1] * shape[3] // groups
+        std = math.sqrt(2.0 / fan_out)
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def xavier_uniform_flat(fan_in: int, fan_out: int):
+    """torch ``xavier_uniform_`` with EXPLICIT fans — needed where the
+    torch weight is a flattened matrix (e.g. MHA in_proj [3D, D]) but the
+    flax param is factored ([D, H, hd] per q/k/v), so shape-derived fans
+    would differ."""
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
+
 class ConvModule(nn.Module):
     """Conv (or transpose conv) + optional BatchNorm + optional activation.
 
-    Reference equivalent: ``models/utils.py:10-52``.
+    Reference equivalent: ``models/utils.py:10-52``. The reference never
+    re-initializes these convs, so they carry torch's DEFAULT init
+    (kaiming_uniform(a=√5) + uniform bias) — matched here; override via
+    ``kernel_init``. (The neck's ``xavier_init`` helper exists in the
+    reference but its ``init_weights()`` is never called — verified by
+    grep, quality-parity protocol relies on this.)
     """
 
     features: int
@@ -43,6 +107,7 @@ class ConvModule(nn.Module):
     act: Callable | None = nn.relu
     transpose: bool = False
     use_bias: bool | None = None  # default: bias iff no norm
+    kernel_init: Callable | None = None  # default: torch_default_kernel_init
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -50,6 +115,7 @@ class ConvModule(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         use_bias = self.use_bias if self.use_bias is not None else not self.use_norm
         conv_cls = nn.ConvTranspose if self.transpose else nn.Conv
+        fan_in = x.shape[-1] * self.kernel_size[0] * self.kernel_size[1]
         x = conv_cls(
             self.features,
             self.kernel_size,
@@ -57,6 +123,8 @@ class ConvModule(nn.Module):
             padding=self.padding,
             kernel_dilation=self.dilation,
             use_bias=use_bias,
+            kernel_init=self.kernel_init or torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(fan_in),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",

@@ -13,6 +13,10 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from geo_deep_learning_tpu.models.layers import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 from geo_deep_learning_tpu.ops.fused_upconv import resize_conv3x3_factored
 from geo_deep_learning_tpu.ops.resize import resize
 
@@ -36,14 +40,14 @@ class _FusedUp4Conv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_default_kernel_init(),
             (3, 3, x.shape[-1], self.features),
             self.param_dtype,
         )
         bias = (
             self.param(
-                "bias", nn.initializers.zeros_init(), (self.features,),
-                self.param_dtype,
+                "bias", torch_default_bias_init(9 * x.shape[-1]),
+                (self.features,), self.param_dtype,
             )
             if self.use_bias
             else None
@@ -90,13 +94,17 @@ class MultiLevelNeck(nn.Module):
                     param_dtype=self.param_dtype,
                     name=name,
                 )(x, train=train)
-            return nn.Conv(
+            return lambda x: nn.Conv(
                 features,
                 kernel,
+                kernel_init=torch_default_kernel_init(),
+                bias_init=torch_default_bias_init(
+                    x.shape[-1] * kernel[0] * kernel[1]
+                ),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=name,
-            )
+            )(x)
 
         laterals = [
             conv(self.out_channels[i], (1, 1), f"lateral{i}")(x)

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from geo_deep_learning_tpu.models.base import SegmentationOutput
+from geo_deep_learning_tpu.models.layers import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 from geo_deep_learning_tpu.models.decoders.unetpp import (
     PackedConv3x3,
     UnetPlusPlusDecoder,
@@ -34,6 +38,10 @@ class UnetPlusPlus(nn.Module):
     decoder_channels: tuple[int, ...] = (256, 128, 64, 32, 16)
     packed_tail: bool = True
     packed_column: bool = False  # see UnetPlusPlusDecoder.packed_column
+    # exact-math execution A/B knobs, forwarded to UnetPlusPlusDecoder
+    # (packed_column takes precedence over merged_skips — see the decoder)
+    up2_factored: bool = True
+    merged_skips: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -49,6 +57,8 @@ class UnetPlusPlus(nn.Module):
             decoder_channels=self.decoder_channels,
             packed_tail=self.packed_tail,
             packed_column=self.packed_column,
+            up2_factored=self.up2_factored,
+            merged_skips=self.merged_skips,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="decoder",
@@ -68,6 +78,10 @@ class UnetPlusPlus(nn.Module):
             logits = nn.Conv(
                 self.num_classes,
                 (3, 3),
+                kernel_init=torch_default_kernel_init(),
+                bias_init=torch_default_bias_init(
+                    9 * self.decoder_channels[-1]
+                ),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="head",

@@ -108,12 +108,19 @@ def main():
     )
 
     def conv_body(k):
+        # renormalize each iteration so the chained activations stay
+        # numerically live in bf16 (advisor r3 #4: a fixed 0.05 multiplier
+        # compounds to exact zeros within a few of the 30 iterations):
+        # kernel entries ~ N(0, 0.05²) ⇒ conv std gain = 0.05·3·sqrt(Cin)
+        cin = k.shape[2]
+        g = float(1.0 / (0.05 * 3.0 * np.sqrt(cin)))
+
         def body(x):
             y = lax.conv_general_dilated(
                 x, k, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            return y * 0.05
+            return y * g
         return body
 
     t64 = timed_chain(conv_body(k64), xs["C64"], it)

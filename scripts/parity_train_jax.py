@@ -39,6 +39,13 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precision", default="32-true")
+    p.add_argument(
+        "--init-from-torch",
+        action="store_true",
+        help="unetpp only: initialize from the torch parity twin's exact "
+        "init (same --seed) via scripts/parity_unetpp_goldens.torch_to_flax "
+        "— the A/B that isolates init-distribution effects from dynamics",
+    )
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -90,6 +97,26 @@ def main() -> None:
     if wavelengths is not None:
         sample["wavelengths"] = wavelengths
     variables = task.init_variables(jax.random.PRNGKey(args.seed), sample)
+    if args.init_from_torch:
+        if args.model != "unetpp":
+            msg = "--init-from-torch is implemented for unetpp only"
+            raise SystemExit(msg)
+        import torch
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from parity_train_torch import TorchUnetPlusPlus
+        from parity_unetpp_goldens import torch_to_flax
+
+        torch.manual_seed(args.seed)
+        params0, bstats0 = torch_to_flax(
+            TorchUnetPlusPlus(ncls),
+            jax.device_get(variables["params"]),
+            jax.device_get(variables.get("batch_stats", {})),
+        )
+        variables = {
+            "params": jax.tree.map(jnp.asarray, params0),
+            "batch_stats": jax.tree.map(jnp.asarray, bstats0),
+        }
     tx = build_optimizer(variables["params"], optimizer="adam", lr=args.lr)
     state = TrainState.create(
         apply_fn=model.apply,

@@ -142,15 +142,29 @@ def test_up2_factored_matches_naive():
         for s, c in zip((32, 16, 8, 4, 2), (64, 64, 128, 256, 512))
     ]
     fac = UnetPlusPlusDecoder(up2_factored=True, packed_tail=False)
+    # the retained A/B intermediate: factored per-node UpSkipConvModule
+    # execution WITHOUT the merged-source kernel concat (advisor r3 #1)
+    unmerged = UnetPlusPlusDecoder(
+        up2_factored=True, merged_skips=False, packed_tail=False
+    )
     naive = UnetPlusPlusDecoder(up2_factored=False, packed_tail=False)
     variables = fac.init(jax.random.PRNGKey(0), feats, train=False)
     v2 = naive.init(jax.random.PRNGKey(0), feats, train=False)
+    v3 = unmerged.init(jax.random.PRNGKey(0), feats, train=False)
     assert jax.tree.structure(variables) == jax.tree.structure(v2)
+    assert jax.tree.structure(variables) == jax.tree.structure(v3)
 
     out_f = fac.apply(variables, feats, train=False)
     out_n = naive.apply(variables, feats, train=False)
+    out_u = unmerged.apply(variables, feats, train=False)
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_n), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u), np.asarray(out_n), atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u), np.asarray(out_f), atol=2e-4, rtol=1e-4
     )
 
     def loss(params, mod):
@@ -166,7 +180,20 @@ def test_up2_factored_matches_naive():
     (ln, mn), gn = jax.value_and_grad(loss, has_aux=True)(
         variables["params"], naive
     )
+    (lu, mu_), gu = jax.value_and_grad(loss, has_aux=True)(
+        variables["params"], unmerged
+    )
     np.testing.assert_allclose(float(lf), float(ln), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(lu), float(ln), atol=1e-5, rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path((gu, mu_))[0],
+        jax.tree_util.tree_flatten_with_path((gn, mn))[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
+            err_msg=str(pa),
+        )
     for (pa, a), (pb, b) in zip(
         jax.tree_util.tree_flatten_with_path((gf, mf))[0],
         jax.tree_util.tree_flatten_with_path((gn, mn))[0],
