@@ -43,10 +43,13 @@ from geo_deep_learning_tpu.ops.s2d import (
     pack_bias,
     pack_conv3x3_kernel,
     pack_up2_conv3x3_kernel,
+    pack_w_conv3x3_kernel,
     packed_concat,
     slot_mean_var,
     space_to_depth,
     tile_stats,
+    wdepth_to_space,
+    wspace_to_depth,
 )
 
 
@@ -67,6 +70,10 @@ class PackedConv3x3(nn.Module):
     # via ops/s2d.py:pack_up2_conv3x3_kernel — the tiled-x4 input and the
     # 75%-zero packed kernel never exist (4x fewer FLOPs / input reads).
     up2_input: bool = False
+    # w_mode: W-only (1x2) packing instead of 2x2 space-to-depth — the
+    # [3,3,2C,2O] block kernel of ops/s2d.py:pack_w_conv3x3_kernel
+    # (mutually exclusive with up2_input)
+    w_mode: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -78,6 +85,21 @@ class PackedConv3x3(nn.Module):
             (3, 3, self.in_features, self.features),
             self.param_dtype,
         )
+        if self.w_mode:
+            y = jax.lax.conv_general_dilated(
+                xp.astype(self.dtype),
+                pack_w_conv3x3_kernel(kernel.astype(self.dtype)),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", torch_default_bias_init(9 * self.in_features),
+                    (self.features,), self.param_dtype,
+                )
+                y = y + jnp.tile(bias, 2).astype(self.dtype)
+            return y
         if self.up2_input:
             y = jax.lax.conv_general_dilated(
                 xp.astype(self.dtype),
@@ -114,14 +136,16 @@ class PackedBatchNorm(nn.Module):
     """BatchNorm over packed tensors with full-resolution statistics.
 
     Parameter/batch_stats layout is identical to ``nn.BatchNorm`` on the
-    unpacked tensor (per ORIGINAL channel): the 4 slots partition the
-    original spatial positions, so slot-averaged batch statistics equal
-    the full-resolution statistics exactly.
+    unpacked tensor (per ORIGINAL channel): the ``slots`` slots partition
+    the original spatial positions, so slot-averaged batch statistics
+    equal the full-resolution statistics exactly. ``slots=4`` is the 2x2
+    space-to-depth tail; ``slots=2`` the W-packed finest column.
     """
 
     channels: int
     momentum: float = 0.9
     epsilon: float = 1e-5
+    slots: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -141,7 +165,7 @@ class PackedBatchNorm(nn.Module):
             jax.random.PRNGKey(0), (self.channels,), jnp.float32,
         )
         if train:
-            mean, var = slot_mean_var(xp, self.channels)
+            mean, var = slot_mean_var(xp, self.channels, self.slots)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
@@ -152,8 +176,9 @@ class PackedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = scale * jax.lax.rsqrt(var + self.epsilon)
-        y = (xp.astype(jnp.float32) - tile_stats(mean)) * tile_stats(inv)
-        return (y + tile_stats(bias)).astype(self.dtype)
+        n = self.slots
+        y = (xp.astype(jnp.float32) - tile_stats(mean, n)) * tile_stats(inv, n)
+        return (y + tile_stats(bias, n)).astype(self.dtype)
 
 
 class PackedConvModule(nn.Module):
@@ -162,6 +187,7 @@ class PackedConvModule(nn.Module):
     features: int
     in_features: int
     up2_input: bool = False  # see PackedConv3x3.up2_input
+    w_mode: bool = False  # see PackedConv3x3.w_mode
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -171,13 +197,15 @@ class PackedConvModule(nn.Module):
             self.features,
             self.in_features,
             up2_input=self.up2_input,
+            w_mode=self.w_mode,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
         )(xp)
-        xp = PackedBatchNorm(self.features, dtype=self.dtype, name="bn")(
-            xp, train=train
-        )
+        xp = PackedBatchNorm(
+            self.features, slots=2 if self.w_mode else 4,
+            dtype=self.dtype, name="bn",
+        )(xp, train=train)
         return nn.relu(xp)
 
 
@@ -277,10 +305,13 @@ class _Conv1Shell(nn.Module):
     """Parameter shell for a decoder node's first conv+BN (child names
     ``conv``/``bn`` — identical tree to ``UpSkipConvModule``); the parent
     owns execution order so per-source contributions from MERGED convs can
-    be accumulated before the BN runs."""
+    be accumulated before the BN runs. With ``w_packed`` the BN is the
+    slots-2 :class:`PackedBatchNorm` (same param/batch_stats tree as
+    ``nn.BatchNorm``) consuming the W-packed accumulated activations."""
 
     features: int
     in_features: int
+    w_packed: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -288,21 +319,33 @@ class _Conv1Shell(nn.Module):
         self.conv = _Conv3x3Kernel(
             self.features, self.in_features, param_dtype=self.param_dtype
         )
-        self.bn = nn.BatchNorm(
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )
+        if self.w_packed:
+            self.bn = PackedBatchNorm(
+                self.features, slots=2, dtype=self.dtype
+            )
+        else:
+            self.bn = nn.BatchNorm(
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )
+
+    def norm(self, y: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if self.w_packed:
+            return self.bn(y, train=train)
+        return self.bn(y, use_running_average=not train)
 
 
 class _DenseNodeShell(nn.Module):
     """One dense decoder node's parameters (``conv1`` shell + ``conv2``
     ConvModule) under the node's ``x_{d}_{j}`` scope — same tree as
-    ``DecoderBlock``."""
+    ``DecoderBlock``. ``w_packed`` switches execution (not parameters) to
+    the W-packed layout for the finest column."""
 
     features: int
     in_features: int  # conv1 total input channels (up + all skips)
+    w_packed: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -310,12 +353,22 @@ class _DenseNodeShell(nn.Module):
         self.conv1 = _Conv1Shell(
             self.features,
             self.in_features,
+            w_packed=self.w_packed,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
-        self.conv2 = ConvModule(
-            self.features, dtype=self.dtype, param_dtype=self.param_dtype
-        )
+        if self.w_packed:
+            self.conv2 = PackedConvModule(
+                self.features,
+                self.features,
+                w_mode=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )
+        else:
+            self.conv2 = ConvModule(
+                self.features, dtype=self.dtype, param_dtype=self.param_dtype
+            )
 
 
 class UpSkipConv3x3(nn.Module):
@@ -541,6 +594,13 @@ class UnetPlusPlusDecoder(nn.Module):
     # slices). A/B runs comparing these flags should set packed_column
     # XOR merged_skips; a trace-time warning flags the shadowed combination.
     merged_skips: bool = True
+    # W-pack (1x2) the finest dense column inside the merged-skips grid:
+    # [B,H,W,64] activations execute as [B,H,W/2,128] so every conv fills
+    # the 128 MXU lanes at 2x structural-zero FLOPs — measured 1.33x
+    # fwd+bwd at the live bs32 shapes (scripts/bench_wpack_column.py).
+    # Exact math, unchanged param tree; only active when up2_factored,
+    # merged_skips, and not packed_column (same shadowing rules).
+    wpacked_column: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -595,6 +655,12 @@ class UnetPlusPlusDecoder(nn.Module):
         node_ch: dict[tuple[int, int], int] = {}
         if self.up2_factored and self.merged_skips and packed_j < 0:
             # ---- merged-source execution of the dense grid ----
+            # the finest column (j == wj) optionally runs W-packed (1x2):
+            # activations live as [B, H, W/2, 2C] so the C=64 column fills
+            # all 128 MXU lanes (measured 1.33x fwd+bwd at the live bs32
+            # shapes, scripts/bench_wpack_column.py); exact same math and
+            # param tree — kernels are block-packed at trace time
+            wj = depth - 1 if self.wpacked_column else -1
             up_ch: dict[tuple[int, int], int] = {}
             shells: dict[tuple[int, int], _DenseNodeShell] = {}
             for layer in range(depth):
@@ -609,6 +675,7 @@ class UnetPlusPlusDecoder(nn.Module):
                     shells[(d, j)] = _DenseNodeShell(
                         node_ch[(d, j)],
                         c_in,
+                        w_packed=(j == wj),
                         dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name=f"x_{d}_{j}",
@@ -629,8 +696,11 @@ class UnetPlusPlusDecoder(nn.Module):
                 # one conv of ``src`` against the trace-time O-concat of
                 # every consumer's kernel slice; consumers (d, j) for
                 # d < min(i, j+1) each take a channel slice of the output
+                # at the W-packed column ``src`` arrives ALREADY packed
+                # (the caller packs encoder feats once; dense nodes stay
+                # packed) and the conv runs the block kernel
                 consumers = list(range(min(i, j + 1)))
-                w = src.shape[-1]
+                w = src.shape[-1] // (2 if j == wj else 1)
                 slices, sizes = [], []
                 for d in consumers:
                     k = shells[(d, j)].conv1.conv.kernel.astype(self.dtype)
@@ -642,6 +712,8 @@ class UnetPlusPlusDecoder(nn.Module):
                     if len(slices) > 1
                     else slices[0]
                 )
+                if j == wj:
+                    merged = pack_w_conv3x3_kernel(merged)
                 y = jax.lax.conv_general_dilated(
                     src.astype(self.dtype),
                     merged,
@@ -649,13 +721,20 @@ class UnetPlusPlusDecoder(nn.Module):
                     "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
+                total = sum(sizes)
                 o = 0
                 for d, sz in zip(consumers, sizes):
-                    contrib.setdefault((d, j), []).append(y[..., o : o + sz])
+                    if j == wj:
+                        v = y.reshape(*y.shape[:-1], 2, total)[..., o : o + sz]
+                        part = v.reshape(*y.shape[:-1], 2 * sz)
+                    else:
+                        part = y[..., o : o + sz]
+                    contrib.setdefault((d, j), []).append(part)
                     o += sz
 
             for j in range(depth):
-                run_source(feats[j + 1], j + 1, j)
+                f = feats[j + 1]
+                run_source(wspace_to_depth(f) if j == wj else f, j + 1, j)
             for layer in range(depth):
                 for d in range(depth - layer):
                     j = d + layer
@@ -665,17 +744,24 @@ class UnetPlusPlusDecoder(nn.Module):
                     y = _up2_conv_apply(
                         x_up.astype(self.dtype), k[:, :, : up_ch[(d, j)]]
                     )
+                    if j == wj:
+                        # the up2 conv keeps its reversal-free custom VJP;
+                        # its interleaved output W-packs as a pure reshape
+                        y = wspace_to_depth(y)
                     for t in contrib.pop((d, j)):
                         y = y + t
-                    y = nn.relu(
-                        shell.conv1.bn(y, use_running_average=not train)
-                    )
+                    y = nn.relu(shell.conv1.norm(y, train))
                     dense[(d, j)] = shell.conv2(y, train=train)
                     if d > 0:
                         run_source(dense[(d, j)], d, j)
+
+            def _unpack_fine(v: jnp.ndarray) -> jnp.ndarray:
+                return wdepth_to_space(v) if wj == depth - 1 else v
+
             if self.deep_supervision:
                 ds = [
-                    dense[(d, depth - 1)] for d in range(depth - 1, -1, -1)
+                    _unpack_fine(dense[(d, depth - 1)])
+                    for d in range(depth - 1, -1, -1)
                 ]
             out = DecoderBlock(
                 out_ch[depth],
@@ -684,7 +770,7 @@ class UnetPlusPlusDecoder(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"x_0_{depth}",
-            )(dense[(0, depth - 1)], (), train=train)
+            )(_unpack_fine(dense[(0, depth - 1)]), (), train=train)
             if self.deep_supervision:
                 return out, ds
             return out

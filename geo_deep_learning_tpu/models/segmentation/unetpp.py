@@ -42,6 +42,7 @@ class UnetPlusPlus(nn.Module):
     # (packed_column takes precedence over merged_skips — see the decoder)
     up2_factored: bool = True
     merged_skips: bool = True
+    wpacked_column: bool = True  # see UnetPlusPlusDecoder.wpacked_column
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -59,6 +60,7 @@ class UnetPlusPlus(nn.Module):
             packed_column=self.packed_column,
             up2_factored=self.up2_factored,
             merged_skips=self.merged_skips,
+            wpacked_column=self.wpacked_column,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="decoder",

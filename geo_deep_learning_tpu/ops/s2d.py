@@ -156,22 +156,103 @@ def repack_up2(xp: jnp.ndarray) -> jnp.ndarray:
     return nearest_up2_packed(depth_to_space(xp))
 
 
-def slot_mean_var(x_packed: jnp.ndarray, channels: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def slot_mean_var(
+    x_packed: jnp.ndarray, channels: int, slots: int = 4
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batch mean/variance per ORIGINAL channel from a packed tensor.
 
     Equivalent to BatchNorm statistics over the full-resolution tensor:
-    the 4 slots partition the original spatial positions.
+    the ``slots`` slots partition the original spatial positions.
     """
     b, h, w, _ = x_packed.shape
-    v = x_packed.reshape(b, h, w, 4, channels).astype(jnp.float32)
+    v = x_packed.reshape(b, h, w, slots, channels).astype(jnp.float32)
     mean = jnp.mean(v, axis=(0, 1, 2, 3))
     var = jnp.var(v, axis=(0, 1, 2, 3))
     return mean, var
 
 
-def tile_stats(stat: jnp.ndarray) -> jnp.ndarray:
-    """Per-channel statistic [C] -> packed layout [4C]."""
-    return jnp.tile(stat, 4)
+def tile_stats(stat: jnp.ndarray, slots: int = 4) -> jnp.ndarray:
+    """Per-channel statistic [C] -> packed layout [slots*C]."""
+    return jnp.tile(stat, slots)
+
+
+# ---------------------------------------------------------------------------
+# W-only (1x2) packing — the UNet++ finest dense column runs at C=64,
+# whose minormost dim 2x tile-pads the T(8,128) layout. Folding adjacent
+# W positions into channels ([B,H,W,C] -> [B,H,W/2,2C], a pure reshape in
+# NHWC linear memory) fills all 128 lanes; the packed 3x3 conv pays 2x
+# structural-zero FLOPs and still measures 1.33x faster end-to-end at the
+# live bs32 shapes (scripts/bench_wpack_column.py; scripts/
+# bench_bn_shapes.py for the kernel-level ratio). Exact math.
+# ---------------------------------------------------------------------------
+
+
+def wspace_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC -> [B, H, W/2, 2C]; packed channel = s*C + c, s = w % 2.
+
+    A pure reshape (row-major (W, C) flatten already orders w-pairs
+    contiguously) — no transpose, unlike the 2x2 packing.
+    """
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def wdepth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`wspace_to_depth`."""
+    b, h, w2, c2 = x.shape
+    return x.reshape(b, h, w2 * 2, c2 // 2)
+
+
+def pack_w_conv3x3_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] conv kernel -> [3,3,2C,2O] W-packed block kernel.
+
+    Original output sub-position d in {0,1} at tap v reads original
+    column 2j+d+v = packed column j + (d+v)//2, slot (d+v) % 2 — same
+    tap algebra as :func:`pack_conv3x3_kernel` restricted to one axis.
+    H taps pass through unchanged.
+    """
+    kh, kw, c, o = kernel.shape
+    assert (kh, kw) == (3, 3), "pack_w_conv3x3_kernel is specific to 3x3"
+    packed = jnp.zeros((3, 3, 2 * c, 2 * o), dtype=kernel.dtype)
+    for d in (0, 1):
+        for v in (-1, 0, 1):
+            r = d + v
+            pv, s = r // 2, r % 2
+            packed = packed.at[
+                :, pv + 1, s * c : (s + 1) * c, d * o : (d + 1) * o
+            ].set(kernel[:, v + 1])
+    return packed
+
+
+def pack_w_up2_conv3x3_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,O] -> [4,3,C,2O]: fused (nearest-up2 in H and W) + 3x3 conv
+    emitting W-PACKED output directly from the source-resolution input.
+
+    W axis: output slot d's tap v reads upsampled column 2j+d+v = source
+    column j + floor((d+v)/2); taps hitting the same source column MERGE
+    (as in :func:`pack_up2_conv3x3_kernel`), giving a width-3 kernel over
+    source columns. H axis: composed for lhs_dilation=2 execution — the
+    caller convolves with ``lhs_dilation=(2,1)``, padding ((2,2),(1,1)),
+    exactly like models/decoders/unetpp.py::_up2_conv does for both axes.
+    """
+    kh, kw, c, o = kernel.shape
+    assert (kh, kw) == (3, 3), "pack_w_up2_conv3x3_kernel is specific to 3x3"
+    # W: merge taps into [3, C, 2O] at source columns
+    kw_packed = jnp.zeros((3, 3, c, 2 * o), dtype=kernel.dtype)
+    for d in (0, 1):
+        for v in (-1, 0, 1):
+            pv = (d + v) // 2  # d+v in {-1..2} -> source tap pv in {-1,0,1}
+            kw_packed = kw_packed.at[
+                :, pv + 1, :, d * o : (d + 1) * o
+            ].add(kernel[:, v + 1])
+    # H: nearest-up2 = zero-dilation ∘ ones(2) box filter; convolution
+    # composes, so the effective H kernel is K (.) ones(2) — width 4
+    pad = jnp.pad
+    k_eff = (
+        pad(kw_packed, ((0, 1), (0, 0), (0, 0), (0, 0)))
+        + pad(kw_packed, ((1, 0), (0, 0), (0, 0), (0, 0)))
+    )
+    return k_eff  # [4, 3, C, 2O]
 
 
 def _self_test() -> None:  # pragma: no cover - developer check
