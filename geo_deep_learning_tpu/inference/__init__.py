@@ -4,6 +4,7 @@ from geo_deep_learning_tpu.inference.sliding_window import (
     SlidingWindowConfig,
     predict_scene,
     sliding_window_logits,
+    sliding_window_logits_halo,
     sliding_window_logits_sharded,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "SlidingWindowConfig",
     "predict_scene",
     "sliding_window_logits",
+    "sliding_window_logits_halo",
     "sliding_window_logits_sharded",
 ]

@@ -214,3 +214,137 @@ def test_crop_blend_full_coverage_identity():
         SlidingWindowConfig(tile_size=32, overlap=16, batch_size=4, blend="crop"),
     )
     np.testing.assert_allclose(np.asarray(out), scene, atol=1e-4)
+
+
+def _conv_forward(tiles):
+    k = jnp.ones((5, 5, 3, 2)) / 75.0
+    k = k.at[2, 2, :, 1].set(0.3)  # break symmetry
+    return jax.lax.conv_general_dilated(
+        tiles, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _assert_halo_matches(scene, cfg, n_classes=2):
+    """Exactness contract of the halo path (see its docstring): pixels
+    outside the exchanged boundary strips are BIT-identical; strip
+    pixels regroup one f32 addition (partial + partial) and must agree
+    to reassociation level."""
+    from geo_deep_learning_tpu.core.mesh import MeshConfig, create_mesh
+    from geo_deep_learning_tpu.inference import sliding_window_logits_halo
+    from geo_deep_learning_tpu.inference.sliding_window import _plan_bands
+
+    single = np.asarray(
+        sliding_window_logits(_conv_forward, scene, n_classes, cfg)
+    )
+    mesh = create_mesh(MeshConfig())
+    halo = np.asarray(
+        sliding_window_logits_halo(_conv_forward, scene, n_classes, mesh, cfg)
+    )
+    assert halo.shape == single.shape
+    plan = _plan_bands(scene, cfg, 8)
+    assert plan is not None
+    _, _, _, _, meta, h, _ = plan
+    strip = meta["strip"]
+    in_strip = np.zeros(h, bool)
+    ends = np.cumsum(meta["own_h"])
+    for b in ends[:-1]:
+        if 0 < b < h:
+            in_strip[max(b - strip, 0) : min(b + strip, h)] = True
+    np.testing.assert_array_equal(halo[~in_strip], single[~in_strip])
+    np.testing.assert_allclose(
+        halo[in_strip], single[in_strip], atol=5e-6, rtol=1e-5
+    )
+    return halo, single
+
+
+def test_halo_matches_single_device_crop():
+    """Halo-exchange banded inference (scene SHARDED in bands, boundary
+    strips exchanged via ppermute) matches the single-device
+    blend='crop' path: bit-identical outside the strips, f32
+    reassociation inside them."""
+    rng = np.random.default_rng(7)
+    scene = rng.normal(size=(150, 70, 3)).astype(np.float32)
+    cfg = SlidingWindowConfig(
+        tile_size=32, overlap=16, batch_size=2, blend="crop"
+    )
+    _assert_halo_matches(scene, cfg)
+
+
+def test_halo_single_column_is_bitexact_everywhere():
+    """With one tile column a strip pixel's cross-boundary sum has a
+    single term per side — IEEE addition is commutative, so the WHOLE
+    output is bit-identical."""
+    from geo_deep_learning_tpu.core.mesh import MeshConfig, create_mesh
+    from geo_deep_learning_tpu.inference import sliding_window_logits_halo
+
+    rng = np.random.default_rng(10)
+    scene = rng.normal(size=(144, 32, 3)).astype(np.float32)
+    cfg = SlidingWindowConfig(
+        tile_size=32, overlap=16, batch_size=2, blend="crop"
+    )
+    single = np.asarray(sliding_window_logits(_conv_forward, scene, 2, cfg))
+    mesh = create_mesh(MeshConfig())
+    halo = np.asarray(
+        sliding_window_logits_halo(_conv_forward, scene, 2, mesh, cfg)
+    )
+    np.testing.assert_array_equal(halo, single)
+
+
+def test_halo_more_devices_than_tile_rows():
+    """Trailing devices with no tile rows contribute nothing and the
+    stitched output still matches."""
+    rng = np.random.default_rng(8)
+    scene = rng.normal(size=(48, 90, 3)).astype(np.float32)  # 2 tile rows
+    cfg = SlidingWindowConfig(
+        tile_size=32, overlap=16, batch_size=2, blend="crop"
+    )
+    _assert_halo_matches(scene, cfg)
+
+
+def test_halo_per_device_tiles_are_disjoint():
+    """The banded planner assigns every global tile to EXACTLY one device
+    (disjoint contiguous row blocks) — no redundant overlap compute."""
+    from geo_deep_learning_tpu.inference.sliding_window import (
+        _plan_bands,
+        _plan_tiles,
+    )
+
+    rng = np.random.default_rng(9)
+    scene = rng.normal(size=(150, 70, 3)).astype(np.float32)
+    cfg = SlidingWindowConfig(
+        tile_size=32, overlap=16, batch_size=2, blend="crop"
+    )
+    plan = _plan_bands(scene, cfg, 8)
+    assert plan is not None
+    _, coords, valid, _, meta, _, _ = plan
+    seen = []
+    for d in range(coords.shape[0]):
+        for i in range(coords.shape[1]):
+            if valid[d, i] > 0:
+                seen.append(
+                    (int(coords[d, i, 0]) + int(meta["lo"][d]),
+                     int(coords[d, i, 1]))
+                )
+    assert len(seen) == len(set(seen)), "tile assigned to two devices"
+    _, gcoords, gvalid, _, _, _ = _plan_tiles(scene, cfg, cfg.batch_size)
+    expect = {
+        (int(r), int(c))
+        for (r, c), v in zip(np.asarray(gcoords), np.asarray(gvalid))
+        if v > 0
+    }
+    assert set(seen) == expect, "banded tiles != global tile grid"
+
+
+def test_halo_requires_crop_blend():
+    from geo_deep_learning_tpu.core.mesh import MeshConfig, create_mesh
+    from geo_deep_learning_tpu.inference import sliding_window_logits_halo
+
+    mesh = create_mesh(MeshConfig())
+    with np.testing.assert_raises(ValueError):
+        sliding_window_logits_halo(
+            _conv_forward,
+            np.zeros((64, 64, 3), np.float32),
+            2,
+            mesh,
+            SlidingWindowConfig(tile_size=32, overlap=16, blend="hann"),
+        )
