@@ -79,10 +79,17 @@ def build(model_name: str, batch: int, image_size: int):
         mit = {"segformer_b0": "mit_b0", "segformer_b2": "mit_b2"}[model_name]
         model = SegFormer(encoder_name=mit, num_classes=num_classes, dtype=dtype)
     elif model_name == "unetpp_r34":
+        import os as _os
+
         from geo_deep_learning_tpu.models.segmentation.unetpp import UnetPlusPlus
 
+        # GDL_UNETPP_WPACK=1 A/Bs the W-packed finest column on (measured
+        # net loss end-to-end; see BASELINE.md "W-pack study")
         model = UnetPlusPlus(
-            encoder_name="resnet34", num_classes=num_classes, dtype=dtype
+            encoder_name="resnet34",
+            num_classes=num_classes,
+            dtype=dtype,
+            wpacked_column=_os.environ.get("GDL_UNETPP_WPACK", "0") == "1",
         )
     elif model_name in ("dofa_base", "dofa_base_frozen", "dofa_base_remat", "dofa_large"):
         from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation

@@ -265,6 +265,52 @@ def _up2_conv_bwd(res, dy):
 _up2_conv.defvjp(_up2_conv_fwd, _up2_conv_bwd)
 
 
+@jax.custom_vjp
+def _up2w_conv(x: jnp.ndarray, k_eff: jnp.ndarray) -> jnp.ndarray:
+    """W-packed sibling of :func:`_up2_conv`: consumes the SOURCE-resolution
+    input and emits ``conv3x3(nearest_up2(x))`` directly in the W-packed
+    [B, 2H, W, 2O] layout (no post-hoc reshape — a W-pack of a T(8,128)
+    tensor materializes a ~0.85 ms copy at the live shapes). ``k_eff`` is
+    ops/s2d.py:pack_w_up2_conv3x3_kernel's [4, 3, C, 2O]: H is the
+    lhs-dilated up2 composition, W the slot-merged packed taps. The VJP
+    mirrors :func:`_up2_conv`'s reversal-free forms (validated 0.0 /
+    3.8e-6 vs ``jax.vjp`` of the forward)."""
+    return jax.lax.conv_general_dilated(
+        x, k_eff, (1, 1), ((2, 2), (1, 1)),
+        lhs_dilation=(2, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _up2w_conv_fwd(x, k_eff):
+    return _up2w_conv(x, k_eff), (x, k_eff)
+
+
+def _up2w_conv_bwd(res, dy):
+    x, k_eff = res
+    dx = jax.lax.conv_general_dilated(
+        dy, k_eff[::-1, ::-1], (2, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWOI", "NHWC"),
+    )
+    dk = jax.lax.conv_general_dilated(
+        dy, x, (1, 1), ((1, 1), (1, 1)),
+        rhs_dilation=(2, 1),
+        dimension_numbers=("CHWN", "IHWO", "NHWC"),
+    )  # [2O, 4, 3, C] at reversed tap index
+    dk = dk[:, ::-1, ::-1].transpose(1, 2, 3, 0)
+    return dx, dk.astype(k_eff.dtype)
+
+
+_up2w_conv.defvjp(_up2w_conv_fwd, _up2w_conv_bwd)
+
+
+def _up2w_conv_apply(x_src: jnp.ndarray, ku: jnp.ndarray) -> jnp.ndarray:
+    """``w_pack(conv3x3(nearest_up2(x_src)))`` fused via :func:`_up2w_conv`."""
+    from geo_deep_learning_tpu.ops.s2d import pack_w_up2_conv3x3_kernel
+
+    return _up2w_conv(x_src, pack_w_up2_conv3x3_kernel(ku))
+
+
 def _up2_conv_apply(x_src: jnp.ndarray, ku: jnp.ndarray) -> jnp.ndarray:
     """``conv3x3(nearest_up2(x_src))`` via :func:`_up2_conv`.
 
@@ -597,10 +643,16 @@ class UnetPlusPlusDecoder(nn.Module):
     # W-pack (1x2) the finest dense column inside the merged-skips grid:
     # [B,H,W,64] activations execute as [B,H,W/2,128] so every conv fills
     # the 128 MXU lanes at 2x structural-zero FLOPs — measured 1.33x
-    # fwd+bwd at the live bs32 shapes (scripts/bench_wpack_column.py).
+    # fwd+bwd at the live bs32 shapes in isolation
+    # (scripts/bench_wpack_column.py), and it cuts the BN-stats reduce
+    # family 93.9 -> 74.9 ms/step in the full model (the 2x lane-padding
+    # diagnosis of scripts/bench_bn_shapes.py confirmed). OFF by default:
+    # end-to-end the packed graph loses 247.5 vs 217.2 ms/step because
+    # XLA layout assignment inserts ~49 ms of physical copies at the
+    # pack boundaries (measured r4, BASELINE.md "W-pack study").
     # Exact math, unchanged param tree; only active when up2_factored,
     # merged_skips, and not packed_column (same shadowing rules).
-    wpacked_column: bool = True
+    wpacked_column: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -707,13 +759,19 @@ class UnetPlusPlusDecoder(nn.Module):
                     off = src_offset(d, j, i)
                     slices.append(k[:, :, off : off + w])
                     sizes.append(node_ch[(d, j)])
+                if j == wj:
+                    # pack PER CONSUMER so each consumer's channels are a
+                    # CONTIGUOUS slice of the conv output (a global pack
+                    # would interleave slots across consumers and the
+                    # strided re-slice materializes a copy per consumer —
+                    # measured 0.85 ms each on the T(8,128) layout)
+                    slices = [pack_w_conv3x3_kernel(s) for s in slices]
+                    sizes = [2 * sz for sz in sizes]
                 merged = (
                     jnp.concatenate(slices, axis=-1)
                     if len(slices) > 1
                     else slices[0]
                 )
-                if j == wj:
-                    merged = pack_w_conv3x3_kernel(merged)
                 y = jax.lax.conv_general_dilated(
                     src.astype(self.dtype),
                     merged,
@@ -721,15 +779,9 @@ class UnetPlusPlusDecoder(nn.Module):
                     "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                total = sum(sizes)
                 o = 0
                 for d, sz in zip(consumers, sizes):
-                    if j == wj:
-                        v = y.reshape(*y.shape[:-1], 2, total)[..., o : o + sz]
-                        part = v.reshape(*y.shape[:-1], 2 * sz)
-                    else:
-                        part = y[..., o : o + sz]
-                    contrib.setdefault((d, j), []).append(part)
+                    contrib.setdefault((d, j), []).append(y[..., o : o + sz])
                     o += sz
 
             for j in range(depth):
@@ -741,13 +793,16 @@ class UnetPlusPlusDecoder(nn.Module):
                     shell = shells[(d, j)]
                     x_up = feats[d] if layer == 0 else dense[(d, j - 1)]
                     k = shell.conv1.conv.kernel.astype(self.dtype)
-                    y = _up2_conv_apply(
-                        x_up.astype(self.dtype), k[:, :, : up_ch[(d, j)]]
-                    )
                     if j == wj:
-                        # the up2 conv keeps its reversal-free custom VJP;
-                        # its interleaved output W-packs as a pure reshape
-                        y = wspace_to_depth(y)
+                        # fused up2+pack: emits the W-packed layout
+                        # directly with the reversal-free custom VJP
+                        y = _up2w_conv_apply(
+                            x_up.astype(self.dtype), k[:, :, : up_ch[(d, j)]]
+                        )
+                    else:
+                        y = _up2_conv_apply(
+                            x_up.astype(self.dtype), k[:, :, : up_ch[(d, j)]]
+                        )
                     for t in contrib.pop((d, j)):
                         y = y + t
                     y = nn.relu(shell.conv1.norm(y, train))

@@ -42,7 +42,7 @@ class UnetPlusPlus(nn.Module):
     # (packed_column takes precedence over merged_skips — see the decoder)
     up2_factored: bool = True
     merged_skips: bool = True
-    wpacked_column: bool = True  # see UnetPlusPlusDecoder.wpacked_column
+    wpacked_column: bool = False  # see UnetPlusPlusDecoder.wpacked_column
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
