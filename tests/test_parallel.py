@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from geo_deep_learning_tpu.core.mesh import MeshConfig, create_mesh, shard_batch
@@ -213,6 +214,8 @@ def test_unetpp_sync_bn_multi_device_matches_single():
         )
 
 
+@pytest.mark.slow  # DOFA-base ×2 train-step compiles ≈ minutes on CPU;
+# the quick lane's dryrun_multichip covers the same TP-through-step path
 def test_dofa_tensor_parallel_train_step_matches_dp():
     """DOFA-base (the model TP matters most for): TENSOR_PARALLEL_RULES
     actually shard the ViT QKV/MLP kernels over "model", the layout
