@@ -219,7 +219,12 @@ def test_cli_shipped_configs_parse():
     """The three shipped recipes must at least instantiate their model."""
     from geo_deep_learning_tpu.cli.config import instantiate as inst
 
-    for name in ["unetplus_config_RGB", "segformer_config_RGB", "dofa_config_RGB"]:
+    for name in [
+        "unetplus_config_RGB",
+        "segformer_config_RGB",
+        "dofa_config_RGB",
+        "dofa_config_RGB_onecycle",
+    ]:
         cfg = load_config(f"configs/{name}.yaml")
         spec = inst(cfg["model"])
         assert spec.task.model is not None
