@@ -125,7 +125,18 @@ def main(argv: list[str] | None = None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list", help="print the weight registry")
     pf = sub.add_parser("fetch", help="download a checkpoint (needs egress)")
-    pf.add_argument("name", choices=sorted(WEIGHT_REGISTRY))
+    pf.add_argument(
+        "name",
+        nargs="?",
+        choices=sorted(WEIGHT_REGISTRY),
+        help="registry name; omit with --all to fetch every entry",
+    )
+    pf.add_argument(
+        "--all",
+        action="store_true",
+        help="fetch EVERY registry entry (one-command closure for a "
+        "networked host; entries already present in --out are skipped)",
+    )
     pf.add_argument("--out", default="weights")
     pc = sub.add_parser("convert", help="convert a local .pth to Flax msgpack")
     pc.add_argument("name", help="registry name (or family: mit/dofa/resnet)")
@@ -138,7 +149,13 @@ def main(argv: list[str] | None = None) -> int:
         for name, entry in sorted(WEIGHT_REGISTRY.items()):
             print(f"{name:18s} {entry['family']:8s} {entry['url']}")
     elif args.cmd == "fetch":
-        fetch(args.name, args.out)
+        if args.all:
+            for name in sorted(WEIGHT_REGISTRY):
+                fetch(name, args.out)
+        elif args.name:
+            fetch(args.name, args.out)
+        else:
+            parser.error("fetch needs a registry name or --all")
     elif args.cmd == "convert":
         convert_file(args.name, args.path, args.out, args.in_channels)
     return 0
