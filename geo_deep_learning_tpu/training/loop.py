@@ -109,6 +109,9 @@ def build_schedule(
             patience=int(sched_cfg.get("patience", 10)),
             cooldown=int(sched_cfg.get("cooldown", 0)),
             min_lr=float(sched_cfg.get("min_lr", 0.0)),
+            threshold=float(sched_cfg.get("threshold", 1e-4)),
+            threshold_mode=sched_cfg.get("threshold_mode", "rel"),
+            eps=float(sched_cfg.get("eps", 1e-8)),
             base_lr=lr,
         )
         return None, plateau

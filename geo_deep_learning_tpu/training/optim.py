@@ -165,6 +165,7 @@ class PlateauController:
     cooldown: int = 0
     min_lr: float = 0.0
     threshold: float = 1e-4
+    threshold_mode: str = "rel"  # torch: 'rel' | 'abs'
     base_lr: float = 1e-3
     eps: float = 1e-8  # torch: skip reductions smaller than this
     scale: float = field(default=1.0, init=False)
@@ -173,11 +174,17 @@ class PlateauController:
     _cooldown_left: int = field(default=0, init=False)
 
     def _is_better(self, value: float) -> bool:
+        # exact torch ReduceLROnPlateau.is_better over the
+        # (mode, threshold_mode) grid
         if self._best is None:
             return True
         if self.mode == "min":
-            return value < self._best * (1.0 - self.threshold)
-        return value > self._best * (1.0 + self.threshold)
+            if self.threshold_mode == "rel":
+                return value < self._best * (1.0 - self.threshold)
+            return value < self._best - self.threshold
+        if self.threshold_mode == "rel":
+            return value > self._best * (1.0 + self.threshold)
+        return value > self._best + self.threshold
 
     def update(self, value: float) -> float:
         # exact torch ReduceLROnPlateau.step() flow (golden-tested in

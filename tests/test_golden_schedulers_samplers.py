@@ -253,17 +253,20 @@ def test_build_schedule_onecycle_streaming_fallback():
 
 
 @pytest.mark.parametrize(
-    "mode,factor,patience,cooldown,threshold,min_lr",
+    "mode,factor,patience,cooldown,threshold,min_lr,threshold_mode",
     [
-        ("min", 0.1, 2, 0, 1e-4, 0.0),
-        ("min", 0.5, 1, 2, 1e-4, 0.0),      # cooldown interacts with improving epochs
-        ("min", 0.5, 0, 3, 1e-2, 1e-5),
-        ("max", 0.3, 2, 1, 1e-3, 0.0),
-        ("min", 0.1, 10, 0, 1e-4, 0.0),     # reference ReduceLROnPlateau defaults
+        ("min", 0.1, 2, 0, 1e-4, 0.0, "rel"),
+        ("min", 0.5, 1, 2, 1e-4, 0.0, "rel"),  # cooldown interacts with improving epochs
+        ("min", 0.5, 0, 3, 1e-2, 1e-5, "rel"),
+        ("max", 0.3, 2, 1, 1e-3, 0.0, "rel"),
+        ("min", 0.1, 10, 0, 1e-4, 0.0, "rel"),  # reference ReduceLROnPlateau defaults
+        ("min", 0.1, 1, 0, 0.15, 0.0, "rel"),   # coarse rel threshold (r4 evidence fit)
+        ("min", 0.5, 2, 0, 0.02, 0.0, "abs"),   # torch threshold_mode='abs'
+        ("max", 0.3, 1, 1, 0.05, 0.0, "abs"),
     ],
 )
 def test_plateau_controller_matches_torch(
-    mode, factor, patience, cooldown, threshold, min_lr
+    mode, factor, patience, cooldown, threshold, min_lr, threshold_mode
 ):
     """PlateauController vs torch.optim.lr_scheduler.ReduceLROnPlateau on
     randomized metric sequences: the LR trajectory must match step for step
@@ -289,10 +292,12 @@ def test_plateau_controller_matches_torch(
     ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
         opt, mode=mode, factor=factor, patience=patience,
         cooldown=cooldown, threshold=threshold, min_lr=min_lr,
+        threshold_mode=threshold_mode,
     )
     ours = PlateauController(
         mode=mode, factor=factor, patience=patience, cooldown=cooldown,
         min_lr=min_lr, threshold=threshold, base_lr=base_lr,
+        threshold_mode=threshold_mode,
     )
     for i, v in enumerate(seq):
         ref.step(float(v))
