@@ -30,20 +30,111 @@ import optax
 
 logger = logging.getLogger(__name__)
 
-_OPTIMIZERS = {
-    "adam": lambda lr, kw: optax.adam(
-        lr, b1=kw.get("b1", 0.9), b2=kw.get("b2", 0.999), eps=kw.get("eps", 1e-8)
-    ),
-    "adamw": lambda lr, kw: optax.adamw(
+def _betas(kw: dict) -> tuple[float, float]:
+    """torch configs say ``betas: [b1, b2]``; accept b1/b2 too."""
+    if "betas" in kw:
+        b1, b2 = kw["betas"]
+        return float(b1), float(b2)
+    return float(kw.get("b1", 0.9)), float(kw.get("b2", 0.999))
+
+
+def _scale_by_amsgrad_torch(b1: float, b2: float, eps: float):
+    """torch-exact AMSGrad (torch/optim/adam.py): the running max is kept
+    over the RAW second moment and bias-corrected afterwards; optax's
+    ``scale_by_amsgrad`` maxes the bias-corrected values instead, which
+    diverges from torch after step 1."""
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        return {"mu": zeros(), "nu": zeros(), "nu_max": zeros(),
+                "count": jnp.zeros([], jnp.int32)}
+
+    def update(grads, state, params=None):
+        del params
+        count = state["count"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state["nu"], grads)
+        nu_max = jax.tree.map(jnp.maximum, state["nu_max"], nu)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        updates = jax.tree.map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm) / jnp.sqrt(bc2) + eps),
+            mu, nu_max,
+        )
+        return updates, {"mu": mu, "nu": nu, "nu_max": nu_max, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _make_adam(lr, kw: dict) -> optax.GradientTransformation:
+    """``torch.optim.Adam``: ``weight_decay`` is L2 — added to the raw
+    gradient BEFORE the moment updates (torch/optim/adam.py), i.e.
+    ``add_decayed_weights`` in front of the adam core, unlike AdamW's
+    decoupled decay."""
+    b1, b2 = _betas(kw)
+    eps = float(kw.get("eps", 1e-8))
+    if kw.get("amsgrad", False):
+        core = optax.chain(
+            _scale_by_amsgrad_torch(b1, b2, eps),
+            optax.scale_by_learning_rate(lr),
+        )
+    else:
+        core = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+    wd = float(kw.get("weight_decay", 0.0))
+    if wd:
+        return optax.chain(optax.add_decayed_weights(wd), core)
+    return core
+
+
+def _make_adamw(lr, kw: dict) -> optax.GradientTransformation:
+    """``torch.optim.AdamW``: decoupled decay (torch default 0.01)."""
+    b1, b2 = _betas(kw)
+    eps = float(kw.get("eps", 1e-8))
+    wd = float(kw.get("weight_decay", 0.01))
+    if kw.get("amsgrad", False):
+        # compose decoupled decay around the torch-exact amsgrad core,
+        # the way optax.adamw itself is composed
+        return optax.chain(
+            _scale_by_amsgrad_torch(b1, b2, eps),
+            optax.add_decayed_weights(wd),
+            optax.scale_by_learning_rate(lr),
+        )
+    return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+
+
+def _make_sgd(lr, kw: dict) -> optax.GradientTransformation:
+    """``torch.optim.SGD``: ``weight_decay`` is L2 (pre-momentum);
+    dampening has no optax counterpart and is refused rather than
+    silently dropped."""
+    if float(kw.get("dampening", 0.0)) != 0.0:
+        msg = "SGD dampening != 0 is not supported (no optax analog)"
+        raise NotImplementedError(msg)
+    core = optax.sgd(
         lr,
-        b1=kw.get("b1", 0.9),
-        b2=kw.get("b2", 0.999),
-        eps=kw.get("eps", 1e-8),
-        weight_decay=kw.get("weight_decay", 0.01),
-    ),
-    "sgd": lambda lr, kw: optax.sgd(
-        lr, momentum=kw.get("momentum", 0.0), nesterov=kw.get("nesterov", False)
-    ),
+        momentum=float(kw.get("momentum", 0.0)) or None,
+        nesterov=bool(kw.get("nesterov", False)),
+    )
+    wd = float(kw.get("weight_decay", 0.0))
+    if wd:
+        return optax.chain(optax.add_decayed_weights(wd), core)
+    return core
+
+
+_OPTIMIZERS = {
+    "adam": _make_adam,
+    "adamw": _make_adamw,
+    "sgd": _make_sgd,
+}
+
+# every kwarg each factory understands; anything else is warned about
+# instead of silently dropped (torch raises TypeError on unknown args)
+_KNOWN_KW = {
+    "adam": {"betas", "b1", "b2", "eps", "weight_decay", "amsgrad"},
+    "adamw": {"betas", "b1", "b2", "eps", "weight_decay", "amsgrad"},
+    "sgd": {"momentum", "nesterov", "weight_decay", "dampening"},
 }
 
 # torch class_path aliases so reference configs translate verbatim
@@ -260,6 +351,12 @@ def build_optimizer(
         msg = f"unknown optimizer {optimizer!r}; known: {sorted(_OPTIMIZERS)}"
         raise ValueError(msg)
     make = _OPTIMIZERS[name]
+    unknown = set(kwargs) - _KNOWN_KW[name]
+    if unknown:
+        logger.warning(
+            "optimizer %r: ignoring unrecognized init_args %s (known: %s)",
+            name, sorted(unknown), sorted(_KNOWN_KW[name]),
+        )
 
     if plateau is not None:
         plateau.base_lr = lr

@@ -199,3 +199,96 @@ def test_freeze_patterns_stop_gradient_in_step():
     assert not np.array_equal(
         np.asarray(new_state.params["head"]["kernel"]), params0["head"]["kernel"]
     )
+
+
+# ---------------------------------------------------------------------------
+# torch-exact optimizer semantics: the reference configures optimizers via
+# torch.optim class_path + init_args (configs/*.yaml); every arg a user can
+# set there must either translate exactly or be loudly refused.
+# ---------------------------------------------------------------------------
+
+def _run_pair(name, lr, kw, torch_cls, torch_kw, steps=5):
+    """Run `steps` updates of ours vs torch on identical params/grads."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(42)
+    w0 = rng.normal(size=(7, 5)).astype(np.float32)
+    grads = [rng.normal(size=(7, 5)).astype(np.float32) for _ in range(steps)]
+
+    # torch side
+    p = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch_cls([p], lr=lr, **torch_kw)
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        opt.step()
+    torch_out = p.detach().numpy()
+
+    # ours
+    params = {"w": jnp.asarray(w0)}
+    tx = optim.build_optimizer(params, optimizer=name, lr=lr, **kw)
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    ours = np.asarray(params["w"])
+    np.testing.assert_allclose(ours, torch_out, rtol=2e-5, atol=2e-6)
+
+
+def test_adam_l2_weight_decay_matches_torch():
+    # torch.optim.Adam weight_decay is L2 (pre-moment), not decoupled
+    _run_pair(
+        "adam", 1e-2,
+        {"betas": [0.8, 0.95], "eps": 1e-6, "weight_decay": 0.1},
+        pytest.importorskip("torch").optim.Adam,
+        {"betas": (0.8, 0.95), "eps": 1e-6, "weight_decay": 0.1},
+    )
+
+
+def test_adamw_matches_torch():
+    _run_pair(
+        "torch.optim.AdamW", 3e-3,
+        {"betas": [0.9, 0.98], "weight_decay": 0.05},
+        pytest.importorskip("torch").optim.AdamW,
+        {"betas": (0.9, 0.98), "weight_decay": 0.05},
+    )
+
+
+def test_sgd_momentum_weight_decay_nesterov_matches_torch():
+    _run_pair(
+        "sgd", 1e-2,
+        {"momentum": 0.9, "weight_decay": 1e-3, "nesterov": True},
+        pytest.importorskip("torch").optim.SGD,
+        {"momentum": 0.9, "weight_decay": 1e-3, "nesterov": True},
+    )
+
+
+def test_adam_amsgrad_matches_torch():
+    _run_pair(
+        "adam", 1e-2,
+        {"amsgrad": True},
+        pytest.importorskip("torch").optim.Adam,
+        {"amsgrad": True},
+    )
+
+
+def test_sgd_dampening_refused():
+    with pytest.raises(NotImplementedError, match="dampening"):
+        optim.build_optimizer({"w": jnp.zeros(3)}, optimizer="sgd",
+                              lr=1e-2, dampening=0.5)
+
+
+def test_unknown_init_args_warn(caplog):
+    import logging
+    with caplog.at_level(logging.WARNING):
+        optim.build_optimizer({"w": jnp.zeros(3)}, optimizer="adam",
+                              lr=1e-2, weigth_decay=0.1)  # typo'd on purpose
+    assert any("weigth_decay" in r.message for r in caplog.records)
+
+
+def test_adamw_amsgrad_matches_torch():
+    _run_pair(
+        "adamw", 1e-2,
+        {"amsgrad": True, "weight_decay": 0.02},
+        pytest.importorskip("torch").optim.AdamW,
+        {"amsgrad": True, "weight_decay": 0.02},
+    )
