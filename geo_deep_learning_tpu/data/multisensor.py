@@ -64,6 +64,7 @@ class StreamBatcher:
         prefetch: int = 2,
         mix_seed: int = 0,
         mix_probs: list[float] | None = None,
+        cycle: bool = False,
     ) -> None:
         self.make_stream = make_stream
         self.batch_size = batch_size
@@ -72,6 +73,7 @@ class StreamBatcher:
         self.prefetch = prefetch
         self.mix_seed = mix_seed
         self.mix_probs = mix_probs
+        self.cycle = cycle
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -81,6 +83,26 @@ class StreamBatcher:
         if self.drop_partial:
             return self.epoch_size // self.batch_size
         return -(-self.epoch_size // self.batch_size)
+
+    def _cycled(self, idx: int, first, start_epoch: int) -> Iterator[dict]:
+        """``with_epoch`` semantics (ref wds_datamodule.py:112-113, and
+        webdataset's persistent-iterator behavior behind it): when the
+        underlying pipeline exhausts before the nominal ``epoch_size`` is
+        reached, restart it — a fresh pass with a new shuffle order — so
+        every training epoch delivers exactly ``epoch_size`` samples even
+        when the dataset is smaller. Lazy: streams that do cover
+        ``epoch_size`` never restart."""
+        yield from first
+        pass_idx = 1
+        while True:
+            streams = self.make_stream(start_epoch + 7919 * pass_idx)
+            s = (
+                streams[idx]
+                if isinstance(streams, (list, tuple))
+                else streams
+            )
+            yield from s
+            pass_idx += 1
 
     def _batches(self, stream, cap_samples: bool = True) -> Iterator[dict]:
         buf: list[dict] = []
@@ -120,22 +142,29 @@ class StreamBatcher:
         mixed = random_mix(
             gens, seed=self.mix_seed + self.epoch, probs=self.mix_probs
         )
-        if self.epoch_size is not None and self.drop_partial:
+        if self.epoch_size is not None and (self.drop_partial or self.cycle):
+            # cycled per-sensor streams are endless — the islice is the cap
             mixed = itertools.islice(mixed, len(self))
         return mixed
 
     def __iter__(self) -> Iterator[dict]:
         stream = self.make_stream(self.epoch)
+        epoch0 = self.epoch
         self.epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        streams = (
+            list(stream) if isinstance(stream, (list, tuple)) else [stream]
+        )
+        if self.cycle and self.epoch_size is not None:
+            streams = [
+                self._cycled(i, s, epoch0) for i, s in enumerate(streams)
+            ]
         batches = (
-            self._mixed_batches(stream)
-            if isinstance(stream, (list, tuple)) and len(stream) > 1
-            else self._batches(
-                stream[0] if isinstance(stream, (list, tuple)) else stream
-            )
+            self._mixed_batches(streams)
+            if len(streams) > 1
+            else self._batches(streams[0])
         )
 
         def produce():
@@ -246,6 +275,10 @@ class MultiSensorDataModule:
             epoch_size=epoch_size,
             mix_seed=self.seed,
             mix_probs=self.mix_probs,
+            # with_epoch semantics: a configured train epoch_size is a
+            # guarantee, cycling the stream when the dataset is smaller
+            # (ref wds_datamodule.py:112-113)
+            cycle=split == "trn" and self.epoch_size is not None,
         )
 
     def train_dataloader(self) -> StreamBatcher:

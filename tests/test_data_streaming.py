@@ -330,3 +330,52 @@ def test_mixing_is_batch_level_for_heterogeneous_sensors(tmp_path):
         assert len(set(b["platform"])) == 1
         assert b["wavelengths"].shape[-1] == c
     assert seen_channels == {3, 4}  # both sensors drawn over the epoch
+
+
+def test_with_epoch_cycles_when_dataset_smaller(sensor_root):
+    """with_epoch semantics (ref wds_datamodule.py:112-113): a configured
+    train epoch_size larger than the dataset must cycle the stream —
+    every epoch delivers exactly epoch_size//bs full batches."""
+    _, cfg = sensor_root
+    dm = MultiSensorDataModule(
+        sensor_configs_path=str(cfg),
+        model_type="dofa",
+        batch_size=4,
+        epoch_size=40,  # dataset only has 16 trn patches
+        shuffle_buffer=8,
+    )
+    dm.setup()
+    train = dm.train_dataloader()
+    assert len(train) == 10
+    for _ in range(2):  # stable across epochs
+        batches = list(train)
+        assert len(batches) == 10
+        assert all(int(b["valid_count"]) == 4 for b in batches)
+
+
+def test_stream_batcher_cycles_single_stream():
+    rng = np.random.default_rng(0)
+    samples = [{"image": rng.normal(size=(4, 4, 3)).astype(np.float32),
+                "idx": np.int32(i)} for i in range(5)]
+
+    def make_stream(epoch):
+        order = np.random.default_rng(epoch).permutation(5)
+        return iter([samples[i] for i in order])
+
+    sb = StreamBatcher(make_stream, batch_size=2, drop_partial=True,
+                       epoch_size=9, cycle=True)
+    batches = list(sb)
+    assert len(batches) == 4  # floor(9/2) full batches from a 5-sample set
+    seen = np.concatenate([b["idx"] for b in batches])
+    assert len(seen) == 8
+    # the cycled pass re-visits samples
+    assert np.bincount(seen, minlength=5).max() >= 2
+
+
+def test_stream_batcher_no_cycle_stops_at_exhaustion():
+    def make_stream(epoch):
+        return iter([{"idx": np.int32(i)} for i in range(5)])
+
+    sb = StreamBatcher(make_stream, batch_size=2, drop_partial=True,
+                       epoch_size=9, cycle=False)
+    assert len(list(sb)) == 2  # legacy behavior preserved when off
