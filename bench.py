@@ -92,11 +92,17 @@ def build(model_name: str, batch: int, image_size: int):
             wpacked_column=_os.environ.get("GDL_UNETPP_WPACK", "0") == "1",
         )
     elif model_name in ("dofa_base", "dofa_base_frozen", "dofa_base_remat", "dofa_large"):
+        import os as _os
+
         from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation
 
+        # GDL_DOFA_REMAT_MODE A/Bs the remat scope: "mlp" (default —
+        # attention residuals stored, Pallas fwd never re-run) vs
+        # "block" (whole-block checkpoint, minimum memory)
         model = DOFASegmentation(
             encoder_name="dofa_large" if model_name == "dofa_large" else "dofa_base",
             remat=model_name == "dofa_base_remat",
+            remat_mode=_os.environ.get("GDL_DOFA_REMAT_MODE", "mlp"),
             num_classes=num_classes,
             dtype=dtype,
         )

@@ -480,15 +480,50 @@ class FusedLayerNormResidual(nn.Module):
 
 
 class ViTBlock(nn.Module):
-    """timm ViT block with LayerScale (``init_values``), qkv_bias=True."""
+    """timm ViT block with LayerScale (``init_values``), qkv_bias=True.
+
+    ``remat_mlp=True`` rematerializes ONLY the MLP branch (fc1→gelu→fc2)
+    in the backward pass — exact math, same param tree. Unlike wrapping
+    the whole block in ``nn.remat`` (``DOFAv2(remat=True,
+    remat_mode="block")``), the fused attention kernel stays OUTSIDE the
+    remat region: its custom-VJP residuals (q/k/v/o/lse) are stored, so
+    the Pallas forward is never re-run in the backward. Recomputed: the
+    two big MLP dots; saved vs block remat: one attention forward per
+    block (the most expensive-per-byte compute in the ViT, ~25% MXU at
+    D=64 heads) plus the LayerNorms.
+    """
 
     num_heads: int
     mlp_ratio: float = 4.0
     init_values: float = 1e-5
     drop: float = 0.0
     drop_path: float = 0.0
+    remat_mlp: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _mlp(self, y: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """MLP branch (params stay at block scope: mlp_fc1/mlp_fc2/dp2)."""
+        d = y.shape[-1]
+        y = nn.Dense(
+            int(d * self.mlp_ratio),
+            kernel_init=torch_default_kernel_init(),
+            bias_init=torch_default_bias_init(d),
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="mlp_fc1",
+        )(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.drop, deterministic=not train)(y)
+        ls2 = self.param(
+            "ls2_gamma",
+            nn.initializers.constant(self.init_values),
+            (d,),
+            self.param_dtype,
+        )
+        y = _ScaledDense(
+            d, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_fc2"
+        )(y, scale=ls2)
+        return DropPath(self.drop_path, name="dp2")(y, train=train)
 
     @nn.compact
     def __call__(
@@ -540,25 +575,12 @@ class ViTBlock(nn.Module):
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
             name="norm2",
         )(s1, a)
-        y = nn.Dense(
-            int(d * self.mlp_ratio),
-            kernel_init=torch_default_kernel_init(),
-            bias_init=torch_default_bias_init(d),
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            name="mlp_fc1",
-        )(y)
-        y = nn.gelu(y)
-        y = nn.Dropout(self.drop, deterministic=not train)(y)
-        ls2 = self.param(
-            "ls2_gamma",
-            nn.initializers.constant(self.init_values),
-            (d,),
-            self.param_dtype,
+        mlp = (
+            nn.remat(type(self)._mlp, static_argnums=(2,))
+            if self.remat_mlp
+            else type(self)._mlp
         )
-        y = _ScaledDense(
-            d, dtype=self.dtype, param_dtype=self.param_dtype, name="mlp_fc2"
-        )(y, scale=ls2)
-        return s2, DropPath(self.drop_path, name="dp2")(y, train=train)
+        return s2, mlp(self, y, train)
 
 
 @dataclass(frozen=True)
@@ -588,7 +610,12 @@ class DOFAv2(nn.Module):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     convert_patch_to_16: bool = False
-    remat: bool = False  # jax.checkpoint each ViT block
+    remat: bool = False  # rematerialize ViT compute in the backward
+    # "mlp" (default): remat only each block's MLP branch — the fused
+    # attention kernel's residuals are stored so its Pallas forward is
+    # never re-run (see ViTBlock.remat_mlp). "block": jax.checkpoint the
+    # whole block (minimum memory, recomputes attention too).
+    remat_mode: str = "mlp"
     # optional checkpoint positional table [1, 1 + g², D] (numpy). When
     # given, it replaces the recomputed sincos grid, bicubic-resized to
     # the current grid exactly as the reference does at checkpoint load
@@ -644,8 +671,10 @@ class DOFAv2(nn.Module):
         )
         seq = nn.Dropout(self.drop_rate, deterministic=not train)(seq)
         dpr = np.linspace(0.0, self.drop_path_rate, cfg.depth)
+        block_remat = self.remat and self.remat_mode == "block"
+        mlp_remat = self.remat and self.remat_mode == "mlp"
         block_cls = (
-            nn.remat(ViTBlock, static_argnums=(3,)) if self.remat else ViTBlock
+            nn.remat(ViTBlock, static_argnums=(3,)) if block_remat else ViTBlock
         )
         features = []
         # residual-lazy threading: each block returns (stream, branch) with
@@ -661,6 +690,7 @@ class DOFAv2(nn.Module):
                 init_values=cfg.init_values,
                 drop=self.drop_rate,
                 drop_path=float(dpr[i]),
+                remat_mlp=mlp_remat,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"block{i}",

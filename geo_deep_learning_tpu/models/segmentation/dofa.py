@@ -28,6 +28,7 @@ class DOFASegmentation(nn.Module):
     num_classes: int = 1
     decoder_channels: int = 256
     remat: bool = False
+    remat_mode: str = "mlp"  # see DOFAv2.remat_mode
     pos_embed_table: Any = None  # see DOFAv2.pos_embed_table
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -44,6 +45,7 @@ class DOFASegmentation(nn.Module):
         encoder = DOFAv2(
             variant=self.encoder_name,
             remat=self.remat,
+            remat_mode=self.remat_mode,
             pos_embed_table=self.pos_embed_table,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

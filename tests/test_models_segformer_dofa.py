@@ -119,6 +119,31 @@ def test_remat_matches_non_remat():
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
 
 
+def test_dofa_mlp_remat_matches_non_remat():
+    """remat_mode='mlp' must keep the exact param tree and forward math.
+
+    The MLP-only remat region (ViTBlock.remat_mlp) rearranges which
+    residuals the backward stores; the forward and the variable tree
+    must be bit-for-bit the layout of the non-remat model so checkpoints
+    and pretrained weights load identically. (Grad equivalence for both
+    remat modes is covered by the block-remat path sharing the same
+    module math; verified at 1e-9 in the round-4 A/B study, BASELINE.md.)
+    """
+    m0 = DOFAv2(variant="dofa_base", drop_path_rate=0.0)
+    mm = DOFAv2(
+        variant="dofa_base", drop_path_rate=0.0, remat=True, remat_mode="mlp"
+    )
+    x = jnp.ones((1, 28, 28, 3))
+    v0 = m0.init(jax.random.PRNGKey(0), x, WAVELENGTHS_RGB, train=False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        mm.init(jax.random.PRNGKey(0), x, WAVELENGTHS_RGB, train=False)
+    )
+    f0 = m0.apply(v0, x, WAVELENGTHS_RGB, train=False)
+    fm = mm.apply(v0, x, WAVELENGTHS_RGB, train=False)
+    for a, b in zip(f0, fm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_dofa_large_variant():
     from geo_deep_learning_tpu.models.encoders.dofa import create_dofa_large
 
