@@ -24,9 +24,14 @@ Usage: python scripts/make_synthetic_waterloo.py <root> [--train 600]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 from pathlib import Path
 
 import numpy as np
+
+# runnable straight from a checkout, without the package installed
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _smooth(field: np.ndarray, k: int) -> np.ndarray:
