@@ -382,7 +382,7 @@ PROJECTIONS: dict[int, object] = {
 
 
 def is_supported(epsg: int | None) -> bool:
-    """True when :func:`transform_points` can handle this EPSG code."""
+    """True when the NATIVE projection math handles this EPSG code."""
     if epsg in (4326, 3857) or epsg in PROJECTIONS:
         return True
     return epsg is not None and (
@@ -390,9 +390,64 @@ def is_supported(epsg: int | None) -> bool:
     )
 
 
+SUPPORTED_FAMILIES = (
+    "EPSG:4326 (WGS84 geographic), EPSG:3857 (Web Mercator), "
+    "WGS84 UTM 32601-32660/32701-32760, and the registered conic/polar "
+    "projections " + "/".join(f"EPSG:{c}" for c in sorted(PROJECTIONS))
+)
+
+
+def _pyproj_transformer(src_epsg: int, dst_epsg: int):
+    """A pyproj transform callable for an arbitrary CRS pair, or None.
+
+    pyproj is an OPTIONAL escape hatch: the native families above stay the
+    tested default (no heavy GDAL/PROJ dependency), but when pyproj is
+    importable any CRS pair it knows becomes reprojectable — matching the
+    reference's any-GDAL-CRS reach (reference utils/rasters.py:45-79).
+    """
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        return None
+    return Transformer.from_crs(
+        f"EPSG:{src_epsg}", f"EPSG:{dst_epsg}", always_xy=True
+    ).transform
+
+
+def can_transform(src_epsg: int | None, dst_epsg: int | None) -> bool:
+    """True when :func:`transform_points` can handle this CRS pair —
+    natively, or through the optional pyproj fallback."""
+    if src_epsg is None or dst_epsg is None:
+        return False
+    if is_supported(src_epsg) and is_supported(dst_epsg):
+        return True
+    try:
+        import pyproj  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def transform_points(src_epsg: int, dst_epsg: int, x, y):
-    """Transform coordinate arrays between two supported CRSs."""
+    """Transform coordinate arrays between two CRSs.
+
+    Uses the in-repo projection math for the supported families; for any
+    other pair, delegates to pyproj when importable. Raises
+    ``NotImplementedError`` with the supported envelope otherwise.
+    """
     if src_epsg == dst_epsg:
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
-    lon, lat = to_geographic(src_epsg, x, y)
-    return from_geographic(dst_epsg, lon, lat)
+    if is_supported(src_epsg) and is_supported(dst_epsg):
+        lon, lat = to_geographic(src_epsg, x, y)
+        return from_geographic(dst_epsg, lon, lat)
+    tf = _pyproj_transformer(src_epsg, dst_epsg)
+    if tf is None:
+        msg = (
+            f"CRS pair EPSG:{src_epsg} -> EPSG:{dst_epsg} is outside the "
+            f"natively supported families ({SUPPORTED_FAMILIES}). Install "
+            "pyproj for arbitrary-CRS reprojection, or pre-reproject the "
+            "raster with GDAL (gdalwarp -t_srs EPSG:<code>)."
+        )
+        raise NotImplementedError(msg)
+    xs, ys = tf(np.asarray(x, np.float64), np.asarray(y, np.float64))
+    return np.asarray(xs, np.float64), np.asarray(ys, np.float64)

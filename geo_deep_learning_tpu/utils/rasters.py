@@ -116,13 +116,13 @@ def align_to_reference(
         and ref_geo.epsg is not None
         and src_geo.epsg != ref_geo.epsg
     )
-    if reproject and not (
-        crs_lib.is_supported(src_geo.epsg) and crs_lib.is_supported(ref_geo.epsg)
-    ):
+    if reproject and not crs_lib.can_transform(src_geo.epsg, ref_geo.epsg):
         msg = (
-            f"CRS reprojection ({src_geo.epsg} -> {ref_geo.epsg}): one of the "
-            "codes is outside the supported families (EPSG:4326, EPSG:3857, "
-            "WGS84 UTM 326xx/327xx); reproject with GDAL first"
+            f"CRS reprojection (EPSG:{src_geo.epsg} -> EPSG:{ref_geo.epsg}): "
+            "the pair is outside the natively supported families "
+            f"({crs_lib.SUPPORTED_FAMILIES}) and pyproj is not installed. "
+            "Install pyproj for arbitrary-CRS support, or pre-reproject "
+            "with GDAL (gdalwarp -t_srs) first."
         )
         raise NotImplementedError(msg)
     nodata = nodata if nodata is not None else src_geo.nodata

@@ -24,14 +24,15 @@ Usage: python scripts/make_synthetic_waterloo.py <root> [--train 600]
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from pathlib import Path
 
 import numpy as np
 
-# runnable straight from a checkout, without the package installed
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# runnable straight from a checkout, without the package installed;
+# absolute so it survives cwd changes and never leaves a relative
+# entry in sys.path when imported from elsewhere
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _smooth(field: np.ndarray, k: int) -> np.ndarray:

