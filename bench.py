@@ -151,9 +151,28 @@ def build(model_name: str, batch: int, image_size: int):
     return step, state, batch_data
 
 
+# TPU v5e peak bf16 matmul throughput per chip (public spec: 197 TFLOP/s
+# bf16, 394 TOP/s int8); MFU below is measured-FLOPs/sec over this peak
+PEAK_BF16_FLOPS = 197e12
+
+
 def measure(model_name: str, batch: int, steps: int, warmup: int, image_size: int):
     step, state, batch_data = build(model_name, batch, image_size)
     device_batch = jax.device_put(batch_data)
+
+    # AOT-compile once: the SAME executable serves the timing loop and the
+    # FLOPs audit (compiled cost_analysis = XLA's op-level FLOP count of
+    # the optimized HLO), so MFU is computed for exactly the program being
+    # timed — no second trace/compile through the relay.
+    compiled = step.lower(state, device_batch).compile()
+    flops_per_step = None
+    try:
+        ca = compiled.cost_analysis()
+        if ca:  # dict on TPU; may be None on exotic backends
+            flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        flops_per_step = None
+    step = compiled
 
     for _ in range(warmup):
         state, metrics = step(state, device_batch)
@@ -177,12 +196,16 @@ def measure(model_name: str, batch: int, steps: int, warmup: int, image_size: in
 
     patches_per_sec = batch / dt
     target = A100_ESTIMATE.get(model_name, 50.0) * TARGET_MULTIPLIER
-    return {
+    result = {
         "patches_per_sec": round(patches_per_sec, 2),
         "batch": batch,
         "target": target,
         "vs_baseline": round(patches_per_sec / target, 3),
     }
+    if flops_per_step:
+        result["tflops_per_step"] = round(flops_per_step / 1e12, 3)
+        result["mfu"] = round(flops_per_step / dt / PEAK_BF16_FLOPS, 4)
+    return result
 
 
 def main() -> None:
