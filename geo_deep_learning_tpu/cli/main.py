@@ -51,6 +51,20 @@ def build_trainer_config(trainer_node: dict, seed: int):
     ckpt_dir = trainer_node.get("default_root_dir", ".")
     cfg.checkpoint_dir = str(Path(ckpt_dir) / "checkpoints")
 
+    # TPU extension beyond the reference's DDP-only vocabulary:
+    # ``trainer.mesh: {data: N, model: M}`` — model > 1 turns on tensor
+    # parallelism (parallel/placement.py TENSOR_PARALLEL_RULES); the
+    # default (data: -1, model: 1) is pure data parallelism over all
+    # devices, the reference's ``devices: -1`` + ``strategy: ddp``
+    mesh_node = trainer_node.get("mesh")
+    if mesh_node:
+        from geo_deep_learning_tpu.core.mesh import MeshConfig
+
+        cfg.mesh = MeshConfig(
+            data=int(mesh_node.get("data", -1)),
+            model=int(mesh_node.get("model", 1)),
+        )
+
     for cb in trainer_node.get("callbacks", []) or []:
         path = cb.get("class_path", "") if isinstance(cb, dict) else ""
         args = cb.get("init_args", {}) if isinstance(cb, dict) else {}
@@ -262,7 +276,7 @@ def run_eval_from_ckpt(trainer, spec, datamodule, ckpt_path, mode: str):
         trainer.state = mgr.restore(ckpt_path, trainer.state)
     if mode in ("validate", "test"):
         prefix = "val" if mode == "validate" else "test"
-        eval_step = make_eval_step(spec.task, trainer.precision)
+        eval_step = make_eval_step(spec.task, trainer.precision, mesh=trainer.mesh)
         metrics, _ = trainer._run_eval(
             spec.task, eval_step, loader, prefix=prefix, task_labels=spec.task
         )

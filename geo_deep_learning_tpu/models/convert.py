@@ -593,6 +593,12 @@ def merge_pretrained(variables: dict, converted: dict, subtree: str) -> dict:
                 dst[k] = np.asarray(v, dtype=np.asarray(cur).dtype)
 
     for collection, tree in converted.items():
+        if not isinstance(tree, dict):
+            # side entries (e.g. DOFA's "pos_embed" table) are consumed at
+            # model construction (``DOFAv2(pos_embed_table=...)``), not
+            # grafted into variables — an ndarray here used to crash the
+            # trainer's torch_weights path on dofa artifacts
+            continue
         if not tree:
             continue
         target = out.setdefault(collection, {}).setdefault(subtree, {})

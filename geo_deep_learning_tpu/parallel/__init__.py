@@ -17,6 +17,8 @@ from geo_deep_learning_tpu.core.mesh import (
 from geo_deep_learning_tpu.parallel.placement import (
     TENSOR_PARALLEL_RULES,
     count_model_sharded,
+    model_axis_size,
+    place_state,
     replicate_state,
     shard_params,
     shard_params_spec,
@@ -31,6 +33,8 @@ __all__ = [
     "count_model_sharded",
     "create_mesh",
     "local_batch_to_global",
+    "model_axis_size",
+    "place_state",
     "replicate_state",
     "replicated_sharding",
     "shard_batch",

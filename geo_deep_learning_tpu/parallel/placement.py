@@ -131,5 +131,33 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
     )
 
 
+def place_state(state: Any, mesh: Mesh, rules: list | None = None) -> Any:
+    """Place a FULL train state on the mesh under tensor-parallel rules.
+
+    Walks every array leaf of the state by path. Rules are param-path
+    substrings, and optimizer moments (optax adam ``mu``/``nu`` etc.)
+    carry the param path as a suffix of their own tree path, so one walk
+    lays out params AND optimizer state consistently; everything else
+    (step counter, rng, batch_stats, schedule counts) is replicated.
+    With no rules this degenerates to :func:`replicate_state` (pure DP).
+    """
+    if not rules:
+        return replicate_state(state, mesh)
+
+    def place(path, leaf):
+        if not isinstance(leaf, (jax.Array, np.ndarray)):
+            return leaf
+        name = "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        for substr, spec in rules:
+            if substr in name:
+                if _divisible(shape, spec, mesh):
+                    return jax.device_put(leaf, NamedSharding(mesh, spec))
+                break
+        return jax.device_put(leaf, replicated_sharding(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
 def model_axis_size(mesh: Mesh) -> int:
     return mesh.shape[MODEL_AXIS]

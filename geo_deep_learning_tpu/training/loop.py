@@ -238,8 +238,8 @@ class Trainer:
         torch_weights: dict | None = None,
     ) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)
-        variables = task.init_variables(rng, device_batch(sample_batch))
 
+        converted = None
         if torch_weights:
             # warm start the encoder from a torch checkpoint file or a
             # pre-converted .msgpack from scripts/fetch_weights.py
@@ -251,6 +251,23 @@ class Trainer:
                 fmt=torch_weights.get("format", "resnet"),
                 in_channels=int(torch_weights.get("in_channels", 3)),
             )
+            # DOFA artifacts carry the pretrained pos-embed table as a
+            # side entry (not a param); route it into the model the same
+            # way the reference's loader does (dofa_v2.py:349-392 resizes
+            # the checkpoint's pos_embed) instead of falling back to
+            # fresh sincos positions
+            pos_table = converted.get("pos_embed")
+            if (
+                pos_table is not None
+                and hasattr(task.model, "pos_embed_table")
+                and task.model.pos_embed_table is None
+            ):
+                task.model = task.model.clone(
+                    pos_embed_table=np.asarray(pos_table)
+                )
+
+        variables = task.init_variables(rng, device_batch(sample_batch))
+        if converted is not None:
             variables = cv.merge_pretrained(
                 dict(variables), converted, torch_weights.get("subtree", "encoder")
             )
@@ -302,16 +319,38 @@ class Trainer:
             batch_stats=batch_stats,
             rng=jax.random.fold_in(rng, 1),
         )
-        # replicate state over the mesh (pure DP: params replicated)
-        from geo_deep_learning_tpu.core.mesh import replicated_sharding
-
-        sharding = replicated_sharding(self.mesh)
-        return jax.tree.map(
-            lambda x: jax.device_put(x, sharding)
-            if isinstance(x, (jax.Array, np.ndarray))
-            else x,
-            state,
+        # place the state over the mesh: pure DP replicates everything;
+        # a model axis > 1 (``trainer.mesh: {data: N, model: M}``) applies
+        # the Megatron-style TENSOR_PARALLEL_RULES to params AND the
+        # optimizer moments, so the jitted step inherits the TP layout
+        # end to end (collectives are emitted by XLA from the shardings)
+        from geo_deep_learning_tpu.parallel import (
+            TENSOR_PARALLEL_RULES,
+            count_model_sharded,
+            model_axis_size,
+            place_state,
         )
+
+        rules = None
+        if model_axis_size(self.mesh) > 1:
+            rules = TENSOR_PARALLEL_RULES
+        state = place_state(state, self.mesh, rules)
+        if rules is not None:
+            n_tp = count_model_sharded(state.params)
+            if n_tp == 0:
+                logger.warning(
+                    "mesh has model axis %d but no parameter matched the "
+                    "tensor-parallel rules; running fully replicated",
+                    model_axis_size(self.mesh),
+                )
+            else:
+                logger.info(
+                    "tensor parallelism: %d param tensors sharded over "
+                    "model axis of size %d",
+                    n_tp,
+                    model_axis_size(self.mesh),
+                )
+        return state
 
     # ------------------------------------------------------------------
     def fit(

@@ -247,3 +247,15 @@ def test_reference_repo_configs_load_through_our_cli():
         assert spec.task.model is not None
         dm = inst(cfg["data"])
         assert dm.batch_size == 4
+
+
+def test_trainer_mesh_config_parses():
+    """``trainer.mesh: {data: N, model: M}`` reaches TrainerConfig (the
+    user-facing TP switch, VERDICT r4 #3)."""
+    from geo_deep_learning_tpu.cli.main import build_trainer_config
+
+    cfg = build_trainer_config({"max_epochs": 3, "mesh": {"data": 4, "model": 2}}, 42)
+    assert cfg.mesh.data == 4 and cfg.mesh.model == 2
+    # default: all devices on the data axis (reference devices: -1 + ddp)
+    cfg2 = build_trainer_config({}, 42)
+    assert cfg2.mesh.data == -1 and cfg2.mesh.model == 1

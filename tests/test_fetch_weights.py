@@ -181,8 +181,16 @@ def test_resize_pos_embed_matches_torch_bicubic():
 
 
 @pytest.mark.parametrize(
-    ("variant", "maker"), [("dofa_base", "create_dofa_base"),
-                           ("dofa_large", "create_dofa_large")]
+    ("variant", "maker"),
+    [
+        ("dofa_base", "create_dofa_base"),
+        # dofa_large is the heaviest torch-CPU artifact case (~85s for the
+        # two wrap variants); slow lane only — same code path as dofa_base,
+        # different dims (ROADMAP item 7 / VERDICT r4 #8 quick-lane budget)
+        pytest.param(
+            "dofa_large", "create_dofa_large", marks=pytest.mark.slow
+        ),
+    ],
 )
 @pytest.mark.parametrize("wrap", [True, False])
 def test_hf_dofa_artifact_full_pipe(tmp_path, monkeypatch, variant, maker, wrap):
@@ -309,6 +317,7 @@ def test_hf_dofa_patch14_to_16_pipe(tmp_path, monkeypatch):
         np.testing.assert_allclose(np.asarray(jf), tf_, atol=3e-4, rtol=0)
 
 
+@pytest.mark.slow  # ~25s torch-CPU; mit_b0 covers the path in the quick lane
 def test_mit_b5_artifact_pipe(tmp_path):
     """smp-layout mit_b5 artifact (the encoder's own strict state_dict,
     mix_transformer.py:746) through convert → merge → feature parity."""
@@ -371,3 +380,67 @@ def test_resnet_torchvision_layout_pipe(tmp_path):
     tree = fetch_weights.load_converted(out)
     k = tree["params"]["conv1"]["kernel"]
     assert k.shape[2] == 4  # patch_first_conv re-plumbed the stem
+
+
+# ---------------------------------------------------------------------------
+# scripts/pretrained_closure.py — the one-command egress-day closure
+# (VERDICT r4 #4). The network leg is the only part not exercised here;
+# convert → verify → smoke-fine-tune runs on format-faithful fixtures.
+# ---------------------------------------------------------------------------
+
+_cspec = importlib.util.spec_from_file_location(
+    "pretrained_closure", _REPO / "scripts" / "pretrained_closure.py"
+)
+pretrained_closure = importlib.util.module_from_spec(_cspec)
+_cspec.loader.exec_module(pretrained_closure)
+
+
+def _mit_b0_fixture(out_dir: Path) -> Path:
+    """smp-layout mit_b0 .pth exactly as `fetch` would leave it on disk."""
+    from geo_deep_learning.models.encoders.mix_transformer import get_encoder
+
+    tmodel = get_encoder("mit_b0", in_channels=3, depth=5, weights=None)
+    tmodel.eval()
+    _randomize(tmodel, seed=7)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pth = out_dir / "mit_b0.pth"
+    torch.save(tmodel.state_dict(), pth)
+    return pth
+
+
+def test_pretrained_closure_dry_run(tmp_path):
+    """Orchestration dry run: skip-fetch over a present artifact converts
+    and verifies it; an absent artifact is REPORTED missing, not an error
+    (the networked-host run simply fills those in)."""
+    weights = tmp_path / "weights"
+    _mit_b0_fixture(weights)
+    report = pretrained_closure.run(
+        weights, names=["mit_b0", "resnet50"], skip_fetch=True, smoke=False
+    )
+    assert report["entries"]["mit_b0"]["status"] == "converted+verified"
+    assert report["entries"]["mit_b0"]["family"] == "mit"
+    assert report["entries"]["mit_b0"]["param_leaves"] > 50
+    assert (weights / "mit_b0.msgpack").exists()
+    assert report["entries"]["resnet50"]["status"].startswith("missing")
+
+
+@pytest.mark.slow
+def test_pretrained_closure_smoke_finetune(tmp_path):
+    """Family smoke: 1-epoch Trainer.fit warm-started from the converted
+    artifact through the torch_weights path (the reference's core
+    pretrained-encoder fine-tuning workflow)."""
+    weights = tmp_path / "weights"
+    _mit_b0_fixture(weights)
+    report = pretrained_closure.run(
+        weights,
+        names=["mit_b0"],
+        skip_fetch=True,
+        smoke=True,
+        smoke_size=32,
+        work_dir=tmp_path / "work",
+    )
+    assert report["smoke"]["mit"]["status"] == "ok"
+    assert np.isfinite(report["smoke"]["mit"]["val_loss"])
+    # families whose artifact is absent are skipped, not fatal
+    assert report["smoke"]["resnet"]["status"].startswith("skipped")
+    assert report["smoke"]["dofa"]["status"].startswith("skipped")

@@ -130,6 +130,8 @@ def test_packed_tail_matches_unpacked():
         )
 
 
+@pytest.mark.slow  # ~70s variant-equivalence A/B; quick lane exercises the
+# default factored path via the forward/grad tests (VERDICT r4 #8 budget)
 def test_up2_factored_matches_naive():
     """The factored up2+skip first conv (UpSkipConv3x3) is the SAME math
     as resize->concat->conv: identical param tree, matching logits,
@@ -208,6 +210,7 @@ def test_up2_factored_matches_naive():
         )
 
 
+@pytest.mark.slow  # ~55s A/B of the off-by-default W-packed column
 def test_wpacked_column_matches_unpacked():
     """The W-packed (1x2) finest dense column is the SAME math as the
     plain merged grid: identical param tree, matching logits, batch_stats

@@ -137,3 +137,91 @@ def test_resume_from_checkpoint(datamodule, tmp_path):
         ckpt_path=str(last),
     )
     assert int(np.asarray(t2.state.step)) > step1
+
+
+def test_torch_weights_dofa_pos_embed_injection(monkeypatch):
+    """A converted DOFA artifact carries the pretrained pos-embed table as
+    a side entry; the trainer must route it into the model (reference
+    loads the checkpoint's pos_embed with bicubic resize, dofa_v2.py:349-392)
+    instead of crashing in merge_pretrained or silently falling back to
+    fresh sincos positions."""
+    import geo_deep_learning_tpu.models.convert as cv
+    from geo_deep_learning_tpu.models.segmentation.dofa import DOFASegmentation
+
+    table = np.random.default_rng(0).normal(size=(1, 5, 768)).astype(np.float32)
+    monkeypatch.setattr(
+        cv,
+        "load_pretrained_tree",
+        lambda *a, **k: {"params": {}, "pos_embed": table},
+    )
+    task = SegmentationTask(
+        model=DOFASegmentation(encoder_name="dofa_base", num_classes=1),
+        loss=DiceLoss(mode="binary"),
+        num_classes=1,
+        default_wavelengths=[0.665, 0.549, 0.481],
+    )
+    trainer = Trainer(
+        TrainerConfig(precision="32-true", augment=False, max_epochs=1)
+    )
+    batch = {
+        "image": np.zeros((2, 32, 32, 3), np.float32),
+        "mask": np.zeros((2, 32, 32), np.int32),
+        "wavelengths": np.asarray([0.665, 0.549, 0.481], np.float32),
+    }
+    state = trainer._init_state(
+        task, batch, None, None, None,
+        torch_weights={"path": "ignored.msgpack", "format": "dofa"},
+    )
+    assert task.model.pos_embed_table is not None
+    np.testing.assert_array_equal(task.model.pos_embed_table, table)
+    assert state.params  # init succeeded with the cloned model
+
+
+@pytest.mark.slow
+def test_fit_tensor_parallel_full_loop(datamodule, tmp_path):
+    """User-facing tensor parallelism (VERDICT r4 #3): a FULL fit on a
+    {data: 4, model: 2} mesh through ``TrainerConfig.mesh`` — train, val,
+    Orbax SAVE of TP-sharded state, auto-test (RESTORE of the best
+    checkpoint into the TP layout), then a second fit resuming from
+    ``last`` — asserting the model-axis sharding survives every leg."""
+    from geo_deep_learning_tpu.core.mesh import MeshConfig
+    from geo_deep_learning_tpu.models.segmentation.segformer import SegFormer
+    from geo_deep_learning_tpu.parallel import count_model_sharded
+
+    def make_task():
+        return SegmentationTask(
+            model=SegFormer(encoder_name="mit_b0", num_classes=1),
+            loss=DiceLoss(mode="binary"),
+            num_classes=1,
+            class_labels=["background", "building"],
+        )
+
+    cfg = dict(
+        max_epochs=2,
+        precision="32-true",
+        checkpoint_dir=str(tmp_path / "ckpts"),
+        early_stopping_patience=None,
+        augment=False,
+        auto_test_after_fit=True,
+        mesh=MeshConfig(data=4, model=2),
+    )
+    t1 = Trainer(TrainerConfig(**cfg))
+    history = t1.fit(make_task(), datamodule, optimizer={"name": "adam", "lr": 1e-3})
+    assert np.isfinite(history["train_loss"]) and np.isfinite(history["val_loss"])
+    assert "test_miou" in history  # auto-test restored the best TP ckpt
+    n_tp = count_model_sharded(t1.state.params)
+    assert n_tp > 0, "no param sharded over the model axis after fit"
+    assert t1.ckpt.best_path is not None and t1.ckpt.best_path.exists()
+
+    # resume from 'last' into a fresh trainer: restore must land in the
+    # TP layout and training must continue
+    t2 = Trainer(TrainerConfig(**cfg))
+    h2 = t2.fit(
+        make_task(),
+        datamodule,
+        optimizer={"name": "adam", "lr": 1e-3},
+        ckpt_path=str(tmp_path / "ckpts" / "last"),
+    )
+    assert np.isfinite(h2["train_loss"])
+    assert count_model_sharded(t2.state.params) == n_tp
+    assert int(t2.state.step) > int(2)  # continued past the restored step
