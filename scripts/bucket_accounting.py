@@ -1,48 +1,49 @@
 #!/usr/bin/env python
-"""Disjoint-bucket accounting of the UNet++ train step (VERDICT r4 #1).
+"""Disjoint-bucket accounting of a train step (VERDICT r4 #1).
 
 The round-4 floor argument summed a conv lane-cap (~128 ms) with a
 BN-reduce family (75-94 ms) whose fusions were DESCRIBED as "conv +
-BatchNorm-stats epilogue fusions" — leaving open whether the two buckets
-overlap (the same measured op counted against both floors). This tool
-removes the ambiguity: it assigns EVERY op of the profiled step to
-EXACTLY ONE bucket, determined from the compiled HLO module itself:
+BatchNorm-stats epilogue fusions" — leaving open whether the two floors
+counted the same measured ops twice. This tool removes the ambiguity:
+every op of the profiled step is assigned to EXACTLY ONE bucket, decided
+from the compiled HLO module's own fused computations:
 
-  conv      — convolution instructions, and fusions whose called
-              computation CONTAINS a convolution (if any exist, they are
-              reported separately so the overlap is visible, not hidden)
-  reduce    — fusions/instructions containing reduce but NO convolution
-              (the BN-statistics family)
-  copy      — copy/transpose/bitcast-convert data movement
-  elementwise — everything else (bias adds, ReLU, optimizer math, ...)
+  conv+stats_fusion — fusions whose computation contains a convolution
+                      AND a reduce (the overlap, made explicit)
+  conv_fusion       — fusions containing a convolution only
+  conv_standalone   — top-level convolution instructions
+  reduce_fusion     — fusions containing reduce but no convolution
+  copy              — copy/transpose/reshape/bitcast data movement
+  elementwise_fusion / other — the rest
 
-and prints measured ms/step per bucket next to a physics floor:
+Floors:
+  conv buckets  — per contained convolution, flops / (min(Cout,128)/128
+                  x 197 TF/s): the 128-lane MXU ceiling, attributed to
+                  the op that actually executed (augmentation branches
+                  that never ran are excluded automatically because the
+                  floor is summed over PROFILED ops)
+  reduce_fusion — unique input bytes / 819 GB/s HBM (a floor for the ops
+                  AS SCHEDULED; a fused conv+stats kernel can eliminate
+                  them — that lever is measured by
+                  scripts/bench_pallas_column.py)
+  copy          — 0 (eliminable in principle)
 
-  conv floor   = sum over conv instrs of flops / (min(Cout,128)/128 x
-                 197 TF/s) — the 128-lane MXU ceiling
-  reduce floor = unique input bytes / 819 GB/s HBM — a floor FOR THE OPS
-                 AS SCHEDULED; note this is NOT a step floor, because a
-                 fused conv+stats kernel could eliminate these reads
-                 entirely (that lever is measured separately by
-                 scripts/bench_pallas_column.py)
-  copy floor   = 0 (eliminable in principle)
-
-Method: op->time from a jax.profiler trace (profile_step.py parser);
-op->bucket and shapes from the SAME executable's optimized HLO text
-(bench.build + AOT compile — deterministic compile, names match).
+Round-5 result on unetpp_r34 bs32 512^2 (217.2 ms step): conv-containing
+ops measure 177.4 ms against a 128.4 ms disjoint lane-cap floor (72%
+efficiency); the non-conv tail is 39.8 ms with ~4.4 ms of HBM floors.
+Disjoint floors sum to ~133 ms < 177.8 ms, so 180 p/s is NOT proven
+impossible — it requires ~92% lane-cap conv efficiency plus a ~3x
+smaller tail; see BASELINE.md "Disjoint accounting (round 5)".
 
 Usage: python scripts/bucket_accounting.py [--model unetpp_r34]
-         [--steps 6] [--trace-dir DIR]  (reuse an existing trace)
+         [--steps 6] [--trace-dir DIR] [--hlo-file F.txt]
 """
 
 from __future__ import annotations
 
 import argparse
 import collections
-import glob
-import gzip
 import importlib.util
-import os
 import re
 import sys
 from pathlib import Path
@@ -57,12 +58,23 @@ profile_step = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(profile_step)
 
 PEAK_BF16 = 197e12
-HBM_BW = 819e9  # v5e HBM GB/s
+HBM_BW = 819e9  # v5e HBM bytes/s
 
 _SHAPE = re.compile(r"(bf16|f32|f16|s32|u32|s8|u8|pred)\[([0-9,]*)\]")
 _DTYPE_BYTES = {
     "bf16": 2, "f16": 2, "f32": 4, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
     "pred": 1,
+}
+_COMP_RE = re.compile(r"^(ENTRY\s+)?%([\w.\-]+)\s*\(")
+_NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%([\w.\-]+)\s*=")
+# first lowercase token followed by '(' after the '=' is the opcode;
+# type strings only contain uppercase parens (T(8,128), S(1))
+_TYPE_OP_RE = re.compile(r"=\s*(.*?)\s([a-z][a-z0-9\-]*)\(")
+_CALL_RE = re.compile(r"calls=%([\w.\-]+)")
+
+COPY_OPS = {
+    "copy", "transpose", "bitcast", "bitcast-convert", "reshape",
+    "copy-start", "copy-done",
 }
 
 
@@ -78,122 +90,81 @@ def _shape_bytes(type_str: str) -> int:
 
 
 def parse_hlo(text: str):
-    """Compiled-HLO analysis.
-
-    Returns (op_info, comp_flags) where op_info maps instruction name ->
-    dict(kind, called, type_str, line) for every named instruction, and
-    comp_flags maps computation name -> {"conv": bool, "reduce": bool,
-    "conv_details": [...], "param_bytes": int}.
-    """
-    comp_flags: dict[str, dict] = {}
-    op_info: dict[str, dict] = {}
-    current_comp = None
-    comp_re = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->")
-    instr_re = re.compile(
-        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^=]*?\)|[^\s(]+))\s+([\w\-]+)\("
-    )
-    call_re = re.compile(r"calls=%?([\w.\-]+)")
-    window_re = re.compile(r"window=\{size=(\d+)x(\d+)")
-
+    """(ops, comps, sym): instruction table, per-computation flags, and
+    per-computation symbol tables (instruction name -> result type)."""
+    comps: dict[str, dict] = {}
+    ops: dict[str, tuple] = {}
+    sym: dict[str, dict] = collections.defaultdict(dict)
+    cur = None
     for line in text.splitlines():
-        mc = comp_re.match(line.strip()) if ("{" in line and "=" not in line.split("{")[0]) else None
-        if mc:
-            current_comp = mc.group(1)
-            comp_flags.setdefault(
-                current_comp,
-                {"conv": False, "reduce": False, "conv_details": [],
-                 "param_bytes": 0},
-            )
-            continue
-        mi = instr_re.match(line)
-        if not mi:
-            continue
-        name, type_str, opcode = mi.groups()
-        if current_comp is not None:
-            flags = comp_flags[current_comp]
-            if opcode == "convolution":
-                flags["conv"] = True
-                mw = window_re.search(line)
-                flags["conv_details"].append((line.strip(), type_str, mw))
-            if opcode in ("reduce", "reduce-window"):
-                flags["reduce"] = True
-            if opcode == "parameter":
-                flags["param_bytes"] += _shape_bytes(type_str)
-        info = {"kind": opcode, "type": type_str, "called": None,
-                "line": line.strip()}
-        if opcode == "fusion":
-            m = call_re.search(line)
+        if not line.startswith(" "):  # computation headers sit at col 0
+            m = _COMP_RE.match(line)
             if m:
-                info["called"] = m.group(1)
-        op_info[name] = info
-    return op_info, comp_flags
+                cur = m.group(2)
+                comps[cur] = {"convs": [], "reduce": False, "param_bytes": 0}
+            continue
+        mn = _NAME_RE.match(line)
+        if not mn:
+            continue
+        name = mn.group(1)
+        mt = _TYPE_OP_RE.search(line.split(", metadata=")[0])
+        type_str, opcode = (mt.group(1), mt.group(2)) if mt else ("", "?")
+        if cur:
+            sym[cur][name] = type_str
+            c = comps[cur]
+            if opcode == "convolution":
+                c["convs"].append(line)
+            elif opcode in ("reduce", "reduce-window"):
+                c["reduce"] = True
+            elif opcode == "parameter":
+                c["param_bytes"] += _shape_bytes(type_str)
+        called = None
+        if opcode == "fusion":
+            mc = _CALL_RE.search(line)
+            called = mc.group(1) if mc else None
+        ops[name] = (opcode, called, line, type_str)
+    return ops, comps, sym
 
 
-def conv_flops_and_cap(line: str, out_type: str) -> tuple[float, float]:
-    """(flops, lane-cap seconds) for one convolution instruction."""
-    # output shape
-    m = _SHAPE.search(out_type)
+def conv_flops_and_cap(line: str, table: dict) -> tuple[float, float]:
+    """(flops, lane-cap seconds) for one convolution instruction; operand
+    shapes are resolved through the surrounding computation's symbols."""
+    _, rest = line.split(" = ", 1)
+    mt = _TYPE_OP_RE.search("= " + rest.split(", metadata=")[0])
+    if not mt:
+        return 0.0, 0.0
+    m = _SHAPE.search(mt.group(1))
     if not m:
         return 0.0, 0.0
     out_dims = [int(d) for d in m.group(2).split(",") if d]
-    # operand shapes: first two shape literals after the '(' args
-    args = line.split("convolution(", 1)[1]
-    shapes = _SHAPE.findall(args)
-    if len(shapes) < 2:
-        return 0.0, 0.0
-    rhs_dims = [int(d) for d in shapes[1][1].split(",") if d]
-    mw = re.search(r"window=\{size=(\d+)x(\d+)", line)
-    kh, kw = (int(mw.group(1)), int(mw.group(2))) if mw else (1, 1)
-    # dim labels
-    md = re.search(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)", line)
+    args = rest.split("convolution(", 1)[1].split(")", 1)[0]
+    opnames = [a.strip().lstrip("%") for a in args.split(",")]
+    mr = _SHAPE.search(table.get(opnames[1], "")) if len(opnames) > 1 else None
+    rhs_dims = [int(d) for d in mr.group(2).split(",") if d] if mr else []
+    mw = re.search(r"window=\{size=(\d+)x?(\d*)", rest)
+    kh = int(mw.group(1)) if mw else 1
+    kw = int(mw.group(2)) if (mw and mw.group(2)) else 1
+    md = re.search(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)", rest)
     out_elems = 1
     for d in out_dims:
         out_elems *= d
-    if md:
-        rhs_l = md.group(2)  # e.g. 01io or io01...
-        i_pos, o_pos = rhs_l.index("i"), rhs_l.index("o")
-        cin, cout_k = rhs_dims[i_pos], rhs_dims[o_pos]
-        out_l = md.group(3)
-        f_pos = out_l.index("f") if "f" in out_l else len(out_dims) - 1
-        cout = out_dims[f_pos]
+    if md and rhs_dims:
+        cin = rhs_dims[md.group(2).index("i")]
+        cout = out_dims[md.group(3).index("f")]
+    elif rhs_dims:
+        cin, cout = rhs_dims[-2], out_dims[-1]
     else:
-        cin, cout_k = rhs_dims[-2], rhs_dims[-1]
-        cout = out_dims[-1]
+        return 0.0, 0.0
     flops = 2.0 * out_elems * cin * kh * kw
-    # feature-group counts: grouped convs have cin per-group already in rhs
-    lane_frac = min(cout, 128) / 128.0
-    cap = flops / (lane_frac * PEAK_BF16)
+    cap = flops / (min(cout, 128) / 128.0 * PEAK_BF16)
     return flops, cap
 
 
-def bucket_of(name: str, op_info: dict, comp_flags: dict) -> str:
-    info = op_info.get(name)
-    if info is None:
-        # profiler-only names (e.g. 'copy.1' variants) — classify by name
-        base = re.match(r"[a-zA-Z\-_]+", name)
-        kind = base.group(0) if base else name
-        info = {"kind": kind, "called": None}
-    kind = info["kind"]
-    if kind == "convolution":
-        return "conv"
-    if kind == "fusion" and info.get("called"):
-        flags = comp_flags.get(info["called"], {})
-        if flags.get("conv"):
-            return "conv_fusion"  # reported separately: overlap made visible
-        if flags.get("reduce"):
-            return "reduce"
-        return "elementwise"
-    if kind in ("copy", "transpose", "bitcast", "bitcast-convert",
-                "copy-start", "copy-done", "all-reduce", "reshape"):
-        return "copy"
-    if kind in ("reduce", "reduce-window", "select-and-scatter"):
-        return "reduce"
-    if kind in ("custom-call",):
-        return "custom-call"
-    return "elementwise"
-
-
 def profiled_times(trace_dir: str, steps: int) -> dict[str, float]:
+    import glob
+    import gzip
+    import os
+
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     times: dict[str, float] = collections.defaultdict(float)
@@ -215,8 +186,84 @@ def profiled_times(trace_dir: str, steps: int) -> dict[str, float]:
                     name = plane["event_meta"].get(ev["meta"], {}).get(
                         "name", str(ev["meta"])
                     )
-                    times[name.lstrip("%")] += ev["dur_ps"] / 1e9 / steps
+                    # profiler event names carry the full instruction
+                    # text; the op name is the lhs
+                    name = name.lstrip("%").split(" = ")[0].strip()
+                    times[name] += ev["dur_ps"] / 1e9 / steps
     return dict(times)
+
+
+def analyze(times: dict, hlo_text: str) -> None:
+    ops, comps, sym = parse_hlo(hlo_text)
+    entry_types = {n: t for n, (_, _, _, t) in ops.items()}
+    buckets = collections.defaultdict(lambda: [0.0, 0, 0.0])  # ms, n, floor
+    conv_flops = 0.0
+    reduce_bytes = 0
+    unmatched = 0.0
+    for name, ms in times.items():
+        opcode, called, line, _ = ops.get(name, ("?", None, "", ""))
+        floor = 0.0
+        if opcode == "convolution":
+            bk = "conv_standalone"
+            fl, cap = conv_flops_and_cap(line, entry_types)
+            floor = cap * 1e3
+            conv_flops += fl
+        elif opcode == "fusion" and called and comps.get(called, {}).get("convs"):
+            bk = (
+                "conv+stats_fusion"
+                if comps[called]["reduce"]
+                else "conv_fusion"
+            )
+            for cl in comps[called]["convs"]:
+                fl, cap = conv_flops_and_cap(cl, sym[called])
+                floor += cap * 1e3
+                conv_flops += fl
+        elif opcode == "fusion" and called and comps.get(called, {}).get("reduce"):
+            bk = "reduce_fusion"
+            reduce_bytes += comps[called]["param_bytes"]
+        elif opcode in COPY_OPS:
+            bk = "copy"
+        elif opcode == "fusion":
+            bk = "elementwise_fusion"
+        elif opcode == "?":
+            bk = "unmatched"
+            unmatched += ms
+        else:
+            bk = "other"
+        b = buckets[bk]
+        b[0] += ms
+        b[1] += 1
+        b[2] += floor
+
+    total = sum(v[0] for v in buckets.values())
+    floor_total = sum(v[2] for v in buckets.values())
+    reduce_floor_ms = reduce_bytes / HBM_BW * 1e3
+    print(f"\n{'bucket':<22}{'ms/step':>10}{'ops':>7}{'lane-cap floor':>17}")
+    for bk, (ms, n, fl) in sorted(buckets.items(), key=lambda kv: -kv[1][0]):
+        extra = f"{fl:13.1f} ms" if fl else " " * 16
+        if bk == "reduce_fusion":
+            extra = f"  HBM {reduce_floor_ms:.1f} ms ({reduce_bytes / 1e9:.2f} GB)"
+        if bk == "copy":
+            extra = "  floor 0 (eliminable)"
+        print(f"{bk:<22}{ms:>10.2f}{n:>7}{extra}")
+    print(f"{'TOTAL':<22}{total:>10.2f}")
+    conv_ms = sum(
+        buckets[k][0]
+        for k in ("conv_standalone", "conv_fusion", "conv+stats_fusion")
+    )
+    print(
+        f"\nconv-containing ops: {conv_ms:.2f} ms measured vs "
+        f"{floor_total:.1f} ms disjoint lane-cap floor "
+        f"({conv_flops / 1e12:.2f} TFLOP -> {100 * floor_total / conv_ms:.0f}% "
+        "efficiency)"
+    )
+    print(
+        f"disjoint floors total: {floor_total + reduce_floor_ms:.1f} ms "
+        f"(conv {floor_total:.1f} + reduce-as-scheduled {reduce_floor_ms:.1f}); "
+        "180 p/s needs <= 177.8 ms/step"
+    )
+    if unmatched > 0.01:
+        print(f"unmatched profiled time: {unmatched:.2f} ms")
 
 
 def main() -> None:
@@ -226,92 +273,28 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--trace-dir", default=None)
+    p.add_argument("--hlo-file", default=None,
+                   help="reuse a saved compiled-HLO text dump")
     args = p.parse_args()
 
-    import jax
+    if args.hlo_file:
+        hlo_text = Path(args.hlo_file).read_text()
+    else:
+        import jax
 
-    import bench
+        import bench
 
-    b = args.batch or bench.DEFAULT_BATCH.get(args.model, 8)
-    step, state, batch_data = bench.build(args.model, b, args.image_size)
-    device_batch = jax.device_put(batch_data)
-    compiled = step.lower(state, device_batch).compile()
-    hlo_text = compiled.as_text()
-    op_info, comp_flags = parse_hlo(hlo_text)
+        b = args.batch or bench.DEFAULT_BATCH.get(args.model, 8)
+        step, state, batch_data = bench.build(args.model, b, args.image_size)
+        compiled = step.lower(state, jax.device_put(batch_data)).compile()
+        hlo_text = compiled.as_text()
 
     trace_dir = args.trace_dir or profile_step.capture(
-        args.model, b, args.steps, args.image_size
+        args.model, args.batch, args.steps, args.image_size
     )
     times = profiled_times(trace_dir, args.steps)
-    print(f"trace: {trace_dir}   hlo ops: {len(op_info)}   "
-          f"profiled ops: {len(times)}")
-
-    buckets = collections.defaultdict(lambda: [0.0, 0])
-    unmatched = 0.0
-    for name, ms in times.items():
-        bk = bucket_of(name, op_info, comp_flags)
-        if name not in op_info:
-            unmatched += ms
-        buckets[bk][0] += ms
-        buckets[bk][1] += 1
-
-    # floors
-    conv_floor = 0.0
-    conv_flops = 0.0
-    for name, info in op_info.items():
-        if info["kind"] == "convolution":
-            fl, cap = conv_flops_and_cap(info["line"], info["type"])
-            conv_flops += fl
-            conv_floor += cap
-    # conv instructions inside fusions
-    for cname, flags in comp_flags.items():
-        for line, type_str, _ in flags["conv_details"]:
-            fl, cap = conv_flops_and_cap(line, type_str)
-            conv_flops += fl
-            conv_floor += cap
-
-    reduce_bytes = 0
-    for name, info in op_info.items():
-        if (
-            info["kind"] == "fusion"
-            and info.get("called")
-            and comp_flags.get(info["called"], {}).get("reduce")
-            and not comp_flags.get(info["called"], {}).get("conv")
-        ):
-            reduce_bytes += comp_flags[info["called"]]["param_bytes"]
-    reduce_floor = reduce_bytes / HBM_BW
-
-    total = sum(v[0] for v in buckets.values())
-    print(f"\n{'bucket':<14}{'ms/step':>10}{'ops':>7}    floor")
-    order = ["conv", "conv_fusion", "reduce", "copy", "custom-call",
-             "elementwise"]
-    for bk in order + [k for k in buckets if k not in order]:
-        if bk not in buckets:
-            continue
-        ms, n = buckets[bk]
-        floor = ""
-        if bk == "conv":
-            floor = f"lane-cap {conv_floor * 1e3:.1f} ms ({conv_flops / 1e12:.2f} TFLOP)"
-        elif bk == "reduce":
-            floor = (
-                f"HBM {reduce_floor * 1e3:.1f} ms "
-                f"({reduce_bytes / 1e9:.2f} GB as scheduled; "
-                "eliminable by conv+stats fusion)"
-            )
-        elif bk == "copy":
-            floor = "0 (eliminable)"
-        print(f"{bk:<14}{ms:>10.2f}{n:>7}    {floor}")
-    print(f"{'TOTAL':<14}{total:>10.2f}")
-    if unmatched > 0.01:
-        print(f"(profiled ops not found in this compile's HLO: "
-              f"{unmatched:.2f} ms — name-matched by opcode prefix)")
-    target = 177.8
-    hard = conv_floor * 1e3
-    print(
-        f"\ndisjoint floors: conv lane-cap {hard:.1f} ms"
-        f" + reduce-as-scheduled {reduce_floor * 1e3:.1f} ms; "
-        f"target 180 p/s needs <= {target} ms/step."
-    )
+    print(f"trace: {trace_dir}   profiled ops: {len(times)}")
+    analyze(times, hlo_text)
 
 
 if __name__ == "__main__":
