@@ -193,22 +193,42 @@ def bench_overlap(root: Path, batch_size: int, step_ms: float, workers: int) -> 
         device_preprocess=True,
     )
 
-    def run(prefetch: int, workers_: int) -> float:
+    cpu = (
+        jax.devices("cpu")[0]
+        if jax.devices()[0].platform != "cpu"
+        else jax.devices()[0]
+    )
+
+    def consume(batch):
+        jax.device_put(batch["image"], cpu).block_until_ready()
+        time.sleep(step_ms / 1e3)  # stand-in for the jitted step
+        return int(batch["image"].shape[0])
+
+    def run_serial() -> float:
+        """Strictly synchronous: load a batch, then step — no thread."""
+        from geo_deep_learning_tpu.data.loader import collate
+
+        n = 0
+        idx = list(range(len(ds)))
+        t0 = time.perf_counter()
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            batch = collate([ds[j] for j in idx[i : i + batch_size]])
+            n += consume(batch)
+        return n / (time.perf_counter() - t0)
+
+    def run_overlapped() -> float:
         loader = DataLoader(
-            ds, batch_size=batch_size, num_workers=workers_, prefetch=prefetch
+            ds, batch_size=batch_size, num_workers=workers, prefetch=4
         )
         n = 0
         t0 = time.perf_counter()
         for batch in loader:
-            cpu = jax.devices("cpu")[0] if jax.devices()[0].platform != "cpu" else jax.devices()[0]
-            jax.device_put(batch["image"], cpu).block_until_ready()
-            time.sleep(step_ms / 1e3)  # stand-in for the jitted step
-            n += int(batch["image"].shape[0])
+            n += consume(batch)
         return n / (time.perf_counter() - t0)
 
-    run(1, 1)  # warm page cache
-    serial = run(1, 1)
-    overlapped = run(4, workers)
+    run_serial()  # warm page cache
+    serial = run_serial()
+    overlapped = run_overlapped()
     return {
         "serial_pps": round(serial, 2),
         "overlapped_pps": round(overlapped, 2),
