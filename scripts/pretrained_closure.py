@@ -75,13 +75,13 @@ def _build_encoder(family: str, variant: str, tree: dict):
     if family == "resnet":
         from geo_deep_learning_tpu.models.encoders.resnet import ResNetEncoder
 
-        return ResNetEncoder(variant=variant), (1, 64, 64, 3), ()
+        return ResNetEncoder(variant=variant), (1, 32, 32, 3), ()
     if family == "mit":
         from geo_deep_learning_tpu.models.encoders.mix_transformer import (
             MixVisionTransformer,
         )
 
-        return MixVisionTransformer(variant=variant), (1, 64, 64, 3), ()
+        return MixVisionTransformer(variant=variant), (1, 32, 32, 3), ()
     if family == "dofa":
         from geo_deep_learning_tpu.models.encoders.dofa import DOFAv2
 
@@ -92,7 +92,7 @@ def _build_encoder(family: str, variant: str, tree: dict):
                 convert_patch_to_16=True,
                 pos_embed_table=tree.get("pos_embed"),
             ),
-            (1, 64, 64, 3),
+            (1, 32, 32, 3),
             (wl,),
         )
     msg = f"unknown family {family!r}"

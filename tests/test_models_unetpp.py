@@ -94,6 +94,7 @@ def test_unetpp_multispectral_input():
     assert out.out.shape == (1, 32, 32, 2)
 
 
+@pytest.mark.slow  # ~43s A/B; default path covered by forward/grad tests
 def test_packed_tail_matches_unpacked():
     """The space-to-depth packed tail (ops/s2d.py) is the SAME math:
     identical param tree, matching logits and batch_stats updates."""
