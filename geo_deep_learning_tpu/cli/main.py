@@ -161,6 +161,33 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     return result
 
 
+def _eval_torch_weights(spec):
+    """``torch_weights`` for EVAL-time state init.
+
+    Must mirror the fit-time wiring: a DOFA artifact's pretrained
+    pos-embed table is routed into the model as a module constant (not a
+    checkpointed param), so omitting torch_weights at eval would silently
+    fall back to fresh sincos positions while the restored weights were
+    trained against the pretrained table. If the artifact file is absent
+    on the eval host, warn loudly and continue (non-DOFA families are
+    unaffected — their converted weights are fully overwritten by the
+    checkpoint restore that follows).
+    """
+    tw = getattr(spec, "torch_weights", None)
+    if not tw:
+        return None
+    if Path(tw.get("path", "")).exists():
+        return tw
+    logger.warning(
+        "torch_weights artifact %s not found on this host; evaluating "
+        "without it. For DOFA models trained from a pretrained artifact "
+        "this skews the positional embedding (pos_embed table missing) — "
+        "copy the artifact or expect degraded metrics.",
+        tw.get("path"),
+    )
+    return None
+
+
 def run_predict_scene(trainer, spec, datamodule, ckpt_path, args):
     """Full-scene sliding-window inference from the CLI (a capability the
     reference lacks — its workflows pre-tile scenes offline, SURVEY.md §5).
@@ -210,6 +237,7 @@ def run_predict_scene(trainer, spec, datamodule, ckpt_path, args):
         task, dummy, spec.optimizer, spec.scheduler, None,
         weights_from_checkpoint_path=spec.weights_from_checkpoint_path,
         load_parts=spec.load_parts, freeze_layers=spec.freeze_layers,
+        torch_weights=_eval_torch_weights(spec),
     )
     if ckpt_path:
         mgr = CheckpointManager(trainer.config.checkpoint_dir)
@@ -270,6 +298,7 @@ def run_eval_from_ckpt(trainer, spec, datamodule, ckpt_path, mode: str):
         spec.task, first, spec.optimizer, spec.scheduler, None,
         weights_from_checkpoint_path=spec.weights_from_checkpoint_path,
         load_parts=spec.load_parts, freeze_layers=spec.freeze_layers,
+        torch_weights=_eval_torch_weights(spec),
     )
     if ckpt_path:
         mgr = CheckpointManager(trainer.config.checkpoint_dir)

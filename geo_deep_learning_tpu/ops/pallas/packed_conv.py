@@ -106,8 +106,10 @@ def _kernel(
     xpad_ref[1 : h + 1, 1 : wp + 1, :] = x
 
     # strip-wise accumulation keeps the f32 accumulator small (VMEM
-    # scoped-stack budget): STRIP rows x Wp positions per pass
-    strip = _STRIP
+    # scoped-stack budget): STRIP rows x Wp positions per pass. The
+    # wrapper guarantees divisibility; a truncating loop here would
+    # silently leave output rows unwritten.
+    strip = _STRIP if h % _STRIP == 0 else h
     n_strips = h // strip
     m = strip * wp
     partial = jnp.zeros((8, 128), jnp.float32)
@@ -149,6 +151,11 @@ def _kernel(
         @pl.when(pl.program_id(0) != 0)
         def _acc():
             stats_ref[...] += partial
+    else:
+        # never leave the output buffer as uninitialized VMEM garbage
+        @pl.when(pl.program_id(0) == 0)
+        def _zero():
+            stats_ref[...] = jnp.zeros_like(stats_ref)
 
 
 @functools.partial(
@@ -164,13 +171,17 @@ def packed_conv_bn_stats(
 ):
     """One column node leg: (BN+ReLU prologue) -> packed 3x3 conv -> stats.
 
-    Returns (y_packed [B,H,Wp,128] raw conv output, stats [2,128]) where
+    Returns (y_packed [B,H,Wp,128] raw conv output, stats) where
     stats[0] = sum(y), stats[1] = sum(y^2) over (B, H, W) — the caller
     finalizes mean/var on [128] scalars and feeds the next node's
-    prologue. All shapes static; B is the sequential grid.
+    prologue — or ``stats=None`` when ``accumulate_stats=False``.
+    All shapes static; B is the sequential grid.
     """
     b, h, wp, c2 = x.shape
     assert c2 == 128, "packed channel dim must be 128"
+    if h % _STRIP != 0 and h > _STRIP:
+        msg = f"H={h} must divide the accumulation strip {_STRIP} (or be <= it)"
+        raise ValueError(msg)
     scale8 = jnp.broadcast_to(scale[None, :], (8, 128)).astype(jnp.float32)
     shift8 = jnp.broadcast_to(shift[None, :], (8, 128)).astype(jnp.float32)
     y, stats8 = pl.pallas_call(
@@ -201,6 +212,8 @@ def packed_conv_bn_stats(
         ),
         interpret=_INTERPRET,
     )(x, kp, scale8, shift8)
+    if not accumulate_stats:
+        return y, None
     stats = jnp.stack([stats8[0], stats8[4]], axis=0)  # [2, 128]
     return y, stats
 

@@ -67,6 +67,21 @@ def _divisible(shape: tuple, spec: P, mesh: Mesh) -> bool:
     return True
 
 
+def _path_name(path) -> str:
+    """Join a tree path into a '/'-separated rule-matchable string."""
+    return "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+
+
+def _match_spec(name: str, shape: tuple, mesh: Mesh, rules: list | None) -> P:
+    """First matching rule's spec if its sharded dims divide the mesh
+    axis; replicated otherwise. Single source of truth for every rule
+    consumer (shard_params_spec / shard_params / place_state)."""
+    for substr, spec in rules or []:
+        if substr in name:
+            return spec if _divisible(tuple(shape), spec, mesh) else P()
+    return P()
+
+
 def shard_params_spec(params: Any, mesh: Mesh, rules: list | None = None) -> Any:
     """PartitionSpec tree for parameters.
 
@@ -76,17 +91,11 @@ def shard_params_spec(params: Any, mesh: Mesh, rules: list | None = None) -> Any
     Megatron-style transformer layout. Rules whose sharded dims do not
     divide the mesh axis fall back to replicated for that leaf.
     """
-
-    def spec_of(path, leaf) -> P:
-        name = "/".join(str(getattr(k, "key", k)) for k in path)
-        shape = getattr(leaf, "shape", ())
-        for substr, spec in rules or []:
-            if substr in name:
-                return spec if _divisible(tuple(shape), spec, mesh) else P()
-        return P()
-
     flat = jax.tree_util.tree_flatten_with_path(params)
-    leaves = [spec_of(p, leaf) for p, leaf in flat[0]]
+    leaves = [
+        _match_spec(_path_name(p), getattr(leaf, "shape", ()), mesh, rules)
+        for p, leaf in flat[0]
+    ]
     return jax.tree_util.tree_unflatten(flat[1], leaves)
 
 
@@ -147,14 +156,10 @@ def place_state(state: Any, mesh: Mesh, rules: list | None = None) -> Any:
     def place(path, leaf):
         if not isinstance(leaf, (jax.Array, np.ndarray)):
             return leaf
-        name = "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
-        shape = tuple(getattr(leaf, "shape", ()))
-        for substr, spec in rules:
-            if substr in name:
-                if _divisible(shape, spec, mesh):
-                    return jax.device_put(leaf, NamedSharding(mesh, spec))
-                break
-        return jax.device_put(leaf, replicated_sharding(mesh))
+        spec = _match_spec(
+            _path_name(path), getattr(leaf, "shape", ()), mesh, rules
+        )
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, state)
 

@@ -404,28 +404,31 @@ def _pyproj_transformer(src_epsg: int, dst_epsg: int):
     tested default (no heavy GDAL/PROJ dependency), but when pyproj is
     importable any CRS pair it knows becomes reprojectable — matching the
     reference's any-GDAL-CRS reach (reference utils/rasters.py:45-79).
+    Returns None when pyproj is missing OR rejects the pair (unknown EPSG
+    code), so callers fall through to the curated actionable error
+    instead of a raw pyproj CRSError mid-resampling.
     """
     try:
         from pyproj import Transformer
     except ImportError:
         return None
-    return Transformer.from_crs(
-        f"EPSG:{src_epsg}", f"EPSG:{dst_epsg}", always_xy=True
-    ).transform
+    try:
+        return Transformer.from_crs(
+            f"EPSG:{src_epsg}", f"EPSG:{dst_epsg}", always_xy=True
+        ).transform
+    except Exception:  # pyproj.exceptions.CRSError et al.
+        return None
 
 
 def can_transform(src_epsg: int | None, dst_epsg: int | None) -> bool:
     """True when :func:`transform_points` can handle this CRS pair —
-    natively, or through the optional pyproj fallback."""
+    natively, or through the optional pyproj fallback (checked by
+    actually constructing the transformer, not just importability)."""
     if src_epsg is None or dst_epsg is None:
         return False
     if is_supported(src_epsg) and is_supported(dst_epsg):
         return True
-    try:
-        import pyproj  # noqa: F401
-    except ImportError:
-        return False
-    return True
+    return _pyproj_transformer(src_epsg, dst_epsg) is not None
 
 
 def transform_points(src_epsg: int, dst_epsg: int, x, y):
@@ -444,9 +447,11 @@ def transform_points(src_epsg: int, dst_epsg: int, x, y):
     if tf is None:
         msg = (
             f"CRS pair EPSG:{src_epsg} -> EPSG:{dst_epsg} is outside the "
-            f"natively supported families ({SUPPORTED_FAMILIES}). Install "
-            "pyproj for arbitrary-CRS reprojection, or pre-reproject the "
-            "raster with GDAL (gdalwarp -t_srs EPSG:<code>)."
+            f"natively supported families ({SUPPORTED_FAMILIES}), and "
+            "pyproj is not installed or does not recognize the pair. "
+            "Install pyproj for arbitrary-CRS reprojection, check the "
+            "EPSG codes, or pre-reproject the raster with GDAL "
+            "(gdalwarp -t_srs EPSG:<code>)."
         )
         raise NotImplementedError(msg)
     xs, ys = tf(np.asarray(x, np.float64), np.asarray(y, np.float64))

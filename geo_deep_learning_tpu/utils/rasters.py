@@ -120,9 +120,10 @@ def align_to_reference(
         msg = (
             f"CRS reprojection (EPSG:{src_geo.epsg} -> EPSG:{ref_geo.epsg}): "
             "the pair is outside the natively supported families "
-            f"({crs_lib.SUPPORTED_FAMILIES}) and pyproj is not installed. "
-            "Install pyproj for arbitrary-CRS support, or pre-reproject "
-            "with GDAL (gdalwarp -t_srs) first."
+            f"({crs_lib.SUPPORTED_FAMILIES}) and pyproj is not installed "
+            "or does not recognize the pair. Install pyproj for "
+            "arbitrary-CRS support, check the EPSG codes, or "
+            "pre-reproject with GDAL (gdalwarp -t_srs) first."
         )
         raise NotImplementedError(msg)
     nodata = nodata if nodata is not None else src_geo.nodata

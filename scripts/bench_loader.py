@@ -242,7 +242,7 @@ def main() -> None:
     p.add_argument("--n", type=int, default=64, help="patches in the dataset")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--threads", type=int, nargs="*", default=[1, 2, 4, 8])
+    p.add_argument("--threads", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--markdown", action="store_true")
     p.add_argument("--skip-overlap", action="store_true")

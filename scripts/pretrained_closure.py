@@ -296,14 +296,16 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--report", default=None, help="write JSON report here")
     args = parser.parse_args(argv)
 
-    report = run(
-        args.out,
-        names=args.names,
-        skip_fetch=args.skip_fetch,
-        smoke=not args.no_smoke,
-        epochs=args.epochs,
-        smoke_size=args.smoke_size,
-    )
+    with tempfile.TemporaryDirectory(prefix="closure_") as work:
+        report = run(
+            args.out,
+            names=args.names,
+            skip_fetch=args.skip_fetch,
+            smoke=not args.no_smoke,
+            epochs=args.epochs,
+            smoke_size=args.smoke_size,
+            work_dir=work,
+        )
     text = json.dumps(report, indent=2)
     print(text)
     if args.report:
