@@ -259,3 +259,28 @@ def test_trainer_mesh_config_parses():
     # default: all devices on the data axis (reference devices: -1 + ddp)
     cfg2 = build_trainer_config({}, 42)
     assert cfg2.mesh.data == -1 and cfg2.mesh.model == 1
+
+
+def test_eval_torch_weights_seam(tmp_path, caplog):
+    """Eval-time torch_weights routing (code-review fix): present file
+    passes through; absent file warns loudly and returns None; specs
+    without torch_weights return None silently."""
+    import logging
+    import types
+
+    from geo_deep_learning_tpu.cli.main import _eval_torch_weights
+
+    art = tmp_path / "w.msgpack"
+    art.write_bytes(b"x")
+    spec = types.SimpleNamespace(torch_weights={"path": str(art), "format": "dofa"})
+    assert _eval_torch_weights(spec) == spec.torch_weights
+
+    spec2 = types.SimpleNamespace(torch_weights=None)
+    assert _eval_torch_weights(spec2) is None
+
+    spec3 = types.SimpleNamespace(
+        torch_weights={"path": str(tmp_path / "missing.pth"), "format": "dofa"}
+    )
+    with caplog.at_level(logging.WARNING):
+        assert _eval_torch_weights(spec3) is None
+    assert any("pos_embed" in r.message for r in caplog.records)
