@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from geo_deep_learning_tpu.models.layers import (
     ConvModule,
+    maybe_bn_barrier,
     torch_default_bias_init,
     torch_default_kernel_init,
 )
@@ -378,6 +379,7 @@ class _Conv1Shell(nn.Module):
             )
 
     def norm(self, y: jnp.ndarray, train: bool) -> jnp.ndarray:
+        y = maybe_bn_barrier(y)
         if self.w_packed:
             return self.bn(y, train=train)
         return self.bn(y, use_running_average=not train)

@@ -19,13 +19,16 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from geo_deep_learning_tpu.models.layers import torch_default_kernel_init
+from geo_deep_learning_tpu.models.layers import (
+    maybe_bn_barrier,
+    torch_default_kernel_init,
+)
 
 Dtype = Any
 
 
 def _bn(train: bool, dtype, name: str):
-    return nn.BatchNorm(
+    bn = nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
@@ -33,6 +36,8 @@ def _bn(train: bool, dtype, name: str):
         param_dtype=jnp.float32,
         name=name,
     )
+    # stats-decoupling A/B hook (GDL_BN_BARRIER=1, layers.maybe_bn_barrier)
+    return lambda y: bn(maybe_bn_barrier(y))
 
 
 class BasicBlock(nn.Module):

@@ -87,6 +87,24 @@ def xavier_uniform_flat(fan_in: int, fan_out: int):
     return init
 
 
+def maybe_bn_barrier(x: jnp.ndarray) -> jnp.ndarray:
+    """A/B experiment hook (GDL_BN_BARRIER=1): optimization_barrier
+    between a conv and its BatchNorm.
+
+    The round-5 disjoint accounting (BASELINE.md) showed conv+stats
+    fusions running at 65% of their lane cap while conv-only fusions hit
+    90% — the fused stats epilogue drags the conv schedule. The barrier
+    forces XLA to materialize the conv output before the stats reduce
+    (decoupling them into separate kernels at the cost of one extra HBM
+    read per tensor). Off by default; flipped via env for measurement.
+    """
+    import os
+
+    if os.environ.get("GDL_BN_BARRIER") == "1":
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 class ConvModule(nn.Module):
     """Conv (or transpose conv) + optional BatchNorm + optional activation.
 
@@ -130,6 +148,7 @@ class ConvModule(nn.Module):
             name="conv",
         )(x)
         if self.use_norm:
+            x = maybe_bn_barrier(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
