@@ -69,6 +69,8 @@ def test_device_memory_stats_shape():
     assert all("device" in s for s in stats)
 
 
+@pytest.mark.slow  # ~40s; export mechanics covered in the quick lane by
+# test_export_roundtrip_with_preprocessing (VERDICT r4 #8 budget)
 def test_export_dofa_with_wavelengths(tmp_path):
     """DOFA exports with wavelengths baked in (static-λ serving): the whole
     weight-generator subgraph becomes a constant of the artifact."""
