@@ -117,3 +117,33 @@ def test_unetpp_decoder_deep_supervision():
     assert out.shape == (1, 32, 32, 8)
     assert len(ds) == 2
     assert all(d.shape[1:3] == (16, 16) for d in ds)
+
+
+def test_bn_barrier_hook_numerics_identical(monkeypatch):
+    """GDL_BN_BARRIER (the stats-decoupling A/B hook, BASELINE.md round 5)
+    must be a pure scheduling hint: bit-identical forward + BN stats."""
+    import os
+
+    import jax
+
+    from geo_deep_learning_tpu.models.layers import ConvModule
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 8, 8, 4)), jnp.float32
+    )
+    m = ConvModule(features=8)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    def run():
+        y, upd = m.apply(v, x, train=True, mutable=["batch_stats"])
+        return np.asarray(y), jax.tree.map(np.asarray, upd)
+
+    monkeypatch.delenv("GDL_BN_BARRIER", raising=False)
+    jax.clear_caches()
+    y0, s0 = run()
+    monkeypatch.setenv("GDL_BN_BARRIER", "1")
+    jax.clear_caches()
+    y1, s1 = run()
+    np.testing.assert_array_equal(y0, y1)
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_array_equal(a, b)
