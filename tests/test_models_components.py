@@ -122,8 +122,6 @@ def test_unetpp_decoder_deep_supervision():
 def test_bn_barrier_hook_numerics_identical(monkeypatch):
     """GDL_BN_BARRIER (the stats-decoupling A/B hook, BASELINE.md round 5)
     must be a pure scheduling hint: bit-identical forward + BN stats."""
-    import os
-
     import jax
 
     from geo_deep_learning_tpu.models.layers import ConvModule
